@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream-shaped operators over the batch `events` table — the
+  * reference's pipeline stages re-expressed relationally (SURVEY.md §2a).
+  */
+object EventOps {
+
+  /** JSON metadata parse (reference: ujson parse of registry payloads,
+    * NpmPackage.scala:10). `from_json` is schema-checked and codegen'd.
+    */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k",
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Explode fan-out (reference: mapConcat package→versions, Main.scala:38)
+    * over document tokens; post-explode row count is bounded per input
+    * split by files.maxPartitionBytes.
+    */
+  def explodeTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("token")
+
+  /** The reference's Broadcast→2 filtered branches→Zip dual count
+    * (Main.scala:44-67) — expressed as TWO conditional aggregates in ONE
+    * pass. Catalyst computes both in the same projection: strictly less
+    * work than the reference's duplicated stream branches.
+    */
+  def dualConditionalCount(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "error", 1)).as("n_error"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 4).as("purchase_value"))
+      .orderBy("user_id")
+
+  /** The reference's accumulated nested map pkg→version→(dep,dev)
+    * (AccumulatedDependencyCount.scala) — built as a real nested
+    * map<string,struct> per user, then re-flattened so the result is
+    * oracle-comparable. Exercises map_from_entries + explode round-trip.
+    */
+  def accumulateNested(s: SparkSession, d: String): DataFrame = {
+    val perKey = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    val nested = perKey
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("event_type"), struct(col("n"), col("sum_value"))))))
+        .as("by_type"))
+    nested
+      .select(col("user_id"), explode(col("by_type")).as(Seq("event_type", "stats")))
+      .select(col("user_id"), col("event_type"),
+        col("stats.n").as("n"), col("stats.sum_value").as("sum_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Gap-based sessionization (30 min): lag + running sum of session
+    * starts. Two window passes over the same (user_id, ts) sort — Spark
+    * reuses the exchange+sort.
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(running))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+}

@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator family (SURVEY.md §2b).
+  *
+  * Every query is a declarative DataFrame builder so Catalyst owns the
+  * physical plan: partial aggregation map-side, broadcast for every
+  * dimension table, filters/projections pushed to the parquet scan, AQE
+  * for runtime coalescing + skew handling. All numeric outputs rounded to
+  * 4dp and totally ordered so the driver's DuckDB hash-compare is
+  * deterministic.
+  */
+object Relational {
+
+  /** Timestamp literal cast to the column's actual type (parquet nanos
+    * without tz reads as TIMESTAMP_NTZ in Spark 4; ms-with-tz as LTZ —
+    * this keeps literal comparisons cast-safe either way).
+    */
+  private def tsLit(df: DataFrame, c: String, v: String) =
+    lit(v).cast(df.schema(c).dataType)
+
+  /** TPC-H Q1-shaped pricing summary: grouped aggregation with map-side
+    * partial agg; at 100 TB this is one shuffle of ~6 tiny grouped rows
+    * per map task. (Reference analog: tagged conditional counting,
+    * Main.scala:44-67, generalized.)
+    */
+  def aggPricing(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_shipdate") <= tsLit(li, "l_shipdate", "1999-01-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q6-shaped selective scan: predicate + projection pushed to the
+    * parquet reader (verified in PlanSpec) — reads 4 columns, not 11.
+    */
+  def filterPushdown(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.filter(
+        col("l_shipdate") >= tsLit(li, "l_shipdate", "1996-01-01") &&
+        col("l_shipdate") <  tsLit(li, "l_shipdate", "1998-01-01") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+  }
+
+  /** Fact ⋈ broadcast(dim): customer is broadcast, orders never shuffles. */
+  def broadcastJoin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("total"))
+      .orderBy("c_mktsegment")
+
+  /** TPC-H Q5-shaped 5-table star join: all dims broadcast, the lineitem
+    * fact shuffles exactly once (for its groupBy), never for the joins.
+    */
+  def multiJoin(s: SparkSession, d: String): DataFrame = {
+    val dims = broadcast(
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.orders(s, d).select("o_orderkey", "o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Top-k: Catalyst plans TakeOrderedAndProject — no global sort at scale. */
+  def topK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("totalprice"))
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Distinct aggregation (partial-agg distinct, single row). */
+  def distinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_orders"))
+
+  /** Window rank: top-3 orders per customer (deterministic tie-break). */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk"),
+        round(col("o_totalprice"), 4).as("totalprice"))
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  /** Anti join: customers that never ordered (broadcast the build side of
+    * the DISTINCT key set when small; Catalyst picks BroadcastHashJoin
+    * LeftAnti here).
+    */
+  def semiAntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Union + exact distinct. */
+  def unionDedup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_custkey").as("k"))
+      .unionByName(Tables.customer(s, d).select(col("c_custkey").as("k")))
+      .distinct()
+      .orderBy("k")
+
+  /** ROLLUP hierarchical aggregation (GROUPING SETS). */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .rollup(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("o_orderpriority"))
+
+  /** Correlated scalar subquery, decorrelated as a window aggregate:
+    * customers above their segment's average balance. One pass, no join.
+    */
+  def correlatedSubq(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+    Tables.customer(s, d)
+      .withColumn("seg_avg", avg(col("c_acctbal")).over(w))
+      .filter(col("c_acctbal") > col("seg_avg"))
+      .select(col("c_custkey"), round(col("c_acctbal"), 4).as("acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  /** HAVING: post-aggregation filter. */
+  def havingAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      .filter(col("n") >= 5)
+      .orderBy("o_custkey")
+
+  /** Pivot: per-user event-type matrix (fixed pivot values → single pass,
+    * no extra job to discover values).
+    */
+  def pivotEvents(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+    p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY.md §2c).
+  * All pure Catalyst expressions — one narrow scan pass per query, no
+  * UDFs, so a 100 TB documents table is processed at parquet-scan speed.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for the n-gram/marker language-ID heuristic.
+    * Deterministic and declarative so the exact same scoring is
+    * expressible in the DuckDB oracle.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "que", "los", "una"),
+    "fr" -> Seq("le", "les", "et", "une", "est"))
+
+  private def profileScore(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(toks, array(words.map(lit): _*)))
+
+  /** Language ID: score = |distinct tokens ∩ profile|, argmax with
+    * alphabetical tie-break, 'und' when no profile hits. Confusion-matrix
+    * output (actual lang vs predicted).
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = Tables.documents(s, d)
+      .withColumn("s_de", profileScore(toks, langProfiles(0)._2))
+      .withColumn("s_en", profileScore(toks, langProfiles(1)._2))
+      .withColumn("s_es", profileScore(toks, langProfiles(2)._2))
+      .withColumn("s_fr", profileScore(toks, langProfiles(3)._2))
+    val predicted =
+      when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
+           col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
+      .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+            col("s_en") > 0, "en")
+      .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+      .when(col("s_fr") > 0, "fr")
+      .otherwise("und")
+    scored
+      .withColumn("predicted", predicted)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  /** Quality scoring: token count, mean token length, stopword ratio, and
+    * a binary keep/drop flag — the standard cheap pre-filter before
+    * expensive dedup at 100 TB.
+    */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("avg_token_len",
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens"), 4))
+      .withColumn("stopword_ratio",
+        round(size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / col("n_tokens"), 4))
+      .withColumn("quality",
+        when(col("n_tokens").between(10, 1000) && col("stopword_ratio") <= 0.6, 1L).otherwise(0L))
+      .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "quality")
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex token count
+    * ([a-z0-9]+ runs and single non-alnum marks), plus raw chars.
+    */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("re_tokens"),
+        length(col("text")).cast("long").as("chars"))
+      .orderBy("doc_id")
+
+  /** Document fingerprinting: md5 over normalized text (exact-dup key) —
+    * lowercased, whitespace-collapsed. Same md5 hex as DuckDB's.
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(normalize(col("text"))).as("fp"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Package-registry enrichment — the reference's per-element HTTP GET to
+  * the npm registry (`NpmPackage.scala:8-22`) re-expressed for a
+  * distributed engine.
+  *
+  * Two paths:
+  *  1. `enrichWithClient`: a [[RegistryClient]] per partition
+  *     (connection-per-partition, not per-row). This models the online
+  *     fetch; the container has zero egress, so the only shipped client
+  *     is the deterministic [[LocalRegistry]] fake — the HTTP client is
+  *     intentionally not implemented here.
+  *  2. `parseMetadata`: given a snapshot table of raw registry JSON
+  *     (name, body), parse it declaratively with `from_json`. This is the
+  *     100 TB path: registries are mirrored as bulk snapshots and joined,
+  *     not fetched row-by-row.
+  */
+trait RegistryClient extends Serializable {
+  /** Raw registry JSON for a package name, None when missing. */
+  def fetch(name: String): Option[String]
+}
+
+/** Zero-egress deterministic registry snapshot held in a broadcastable map. */
+final class LocalRegistry(snapshot: Map[String, String]) extends RegistryClient {
+  override def fetch(name: String): Option[String] = snapshot.get(name)
+}
+
+object Registry {
+
+  /** Schema of a (trimmed) npm registry document: versions →
+    * {name, dependencies, devDependencies}. (Reference parse:
+    * Version.scala — dependency map keys are what get counted.)
+    */
+  val metadataSchema: String =
+    "STRUCT<name: STRING, versions: MAP<STRING, STRUCT<" +
+      "name: STRING, " +
+      "dependencies: MAP<STRING, STRING>, " +
+      "devDependencies: MAP<STRING, STRING>>>>"
+
+  /** Parse raw registry JSON bodies into typed metadata. */
+  def parseMetadata(raw: DataFrame, bodyCol: String = "body"): DataFrame =
+    raw.withColumn("meta",
+      from_json(col(bodyCol), org.apache.spark.sql.types.DataType.fromDDL(metadataSchema)))
+
+  /** Enrich a `line`/`name` DataFrame of package names through a client,
+    * one client per partition (the Spark analog of a pooled connection).
+    */
+  def enrichWithClient(names: DataFrame, client: RegistryClient,
+                       nameCol: String = "line"): DataFrame = {
+    val spark = names.sparkSession
+    import spark.implicits._
+    val fetched = names.select(col(nameCol).as("name")).as[String]
+      .mapPartitions { it =>
+        // client is constructed/deserialized once per partition
+        it.flatMap(n => client.fetch(n).map(body => (n, body)))
+      }
+      .toDF("name", "body")
+    parseMetadata(fetched)
+  }
+}

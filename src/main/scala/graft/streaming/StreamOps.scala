@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming re-expression of the reference's continuous
+  * pipeline (SURVEY.md §2a rows 5-6).
+  *
+  * The reference throttles (1 elem / 3 s) and buffers with backpressure
+  * (Main.scala:33,106); in Spark the same knobs are `maxFilesPerTrigger` /
+  * `maxBytesPerTrigger` on the file source and micro-batch admission —
+  * backpressure is inherent to the model. `Trigger.AvailableNow` drains
+  * the source with those rate limits and then stops, which is what a
+  * batch-verifiable run needs; a production deployment would use a
+  * processing-time trigger and checkpointing.
+  */
+object StreamOps {
+
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    // The file-stream source requires a directory; stage the (read-only)
+    // input file into a temp dir. On a cluster the source would already
+    // be a directory of arriving files.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      dir.resolve("events.parquet"))
+    val schema = s.read.parquet(path).schema // ts arrives as long (ns)
+    graft.Tables.withEventTs(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(dir.toString))
+  }
+
+  private def runToMemory(df: DataFrame, mode: String): String = {
+    val name = "graft_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    name
+  }
+
+  /** Tumbling-window event counts with event-time semantics. Complete
+    * mode so every window is emitted when the source drains (append would
+    * hold the tail window open past the final watermark).
+    */
+  def windowedCounts(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .count()
+    val name = runToMemory(agg, "complete")
+    s.table(name)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("count").as("n"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Stateful streaming dedup (the reference's accumulated-state stage,
+    * Main.scala:84-86): dropDuplicates keyed on (user_id, event_type).
+    * In production the key set is bounded with a watermark
+    * (`dropDuplicatesWithinWatermark`); here the domain itself is bounded.
+    */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val distinctPairs = eventsStream(s, d)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val name = runToMemory(distinctPairs, "append")
+    s.table(name).orderBy("user_id", "event_type")
+  }
+}
