@@ -136,7 +136,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("a"), col("b.doc_id").as("b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .dropDuplicates("a", "b")
       .filter(col("hamming") <= maxHamming)
       .orderBy("a", "b")

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  import SharedSpark.{spark, sf}
+
+  test("exact dedup partitions all docs (sum of group sizes = row count)") {
+    val total = Dedup.exact(spark, sf).agg(sum("n_dups")).collect().head.getLong(0)
+    assert(total === 500L)
+  }
+
+  test("minhash LSH recall: finds every exact-jaccard pair at tau=0.5") {
+    val exact = Dedup.ngramJaccard(spark, sf, 0.5).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, sf, 0.5).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty) // testdata plants near-dups
+    assert(exact === lsh)  // verified-jaccard LSH: no FPs; full recall here
+  }
+
+  test("simhash: identical docs collide at hamming 0; output respects the cap") {
+    // planted corpus: docs 1 and 2 identical, 3 unrelated
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_simhash_").toString
+    Seq(
+      (1L, "spark table scan merge join filter window batch stream data"),
+      (2L, "spark table scan merge join filter window batch stream data"),
+      (3L, "completely different vocabulary about gardens flowers weather rain sun soil"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.simhashPairs(spark, dir, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L })
+    assert(pairs.forall { case (a, b, h) => a < b && h <= 6L })
+  }
+
+  test("embeddingCosine only pairs within the same label block") {
+    val pairs = Dedup.embeddingCosine(spark, sf, tau = 0.3)
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+    val joined = pairs
+      .join(e.withColumnRenamed("vec_id", "a").withColumnRenamed("label", "la"), "a")
+      .join(e.withColumnRenamed("vec_id", "b").withColumnRenamed("label", "lb"), "b")
+    assert(joined.filter(col("la") =!= col("lb")).count() === 0L)
+    assert(pairs.count() > 0L)
+  }
+
+  test("knnBrute: self is excluded, sims sorted descending, k respected") {
+    val rows = Similarity.knnBrute(spark, sf, queryId = 0L, k = 5).collect()
+    assert(rows.length === 5)
+    assert(!rows.map(_.getLong(0)).contains(0L))
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("knnLsh returns a subset ranking consistent with brute force") {
+    val brute = Similarity.knnBrute(spark, sf, 0L, 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.knnLsh(spark, sf, 0L, 10).collect()
+    // every ANN result must carry the exact cosine the brute pass computed
+    assert(lsh.forall(r => math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
+  }
+}
