@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.functions.VectorFunctions
+import graft.plans.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,78 +26,98 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("h")
 
-  /** Distinct 3-token shingles per doc, with set size. */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
-      .withColumn("sz", size(col("sh")))
+  /** Exploded distinct 3-token shingles, one row per (doc_id, shingle).
+    *
+    * Built on the codegen path — posexplode tokens → windowed lead(1/2)
+    * per doc → concat → distinct — instead of higher-order array lambdas,
+    * which run interpreted (measured 24k shingles/s vs millions here).
+    * The distinct's exchange doubles as the materialization barrier every
+    * consumer (sizes, signatures, verification) reuses, the query-local
+    * analog of a materialized shingle table at 100 TB.
+    */
+  private def explodedShingles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .filter(length(col("t")) > 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tok
+      .select(col("doc_id"), col("t"),
+        lead(col("t"), 1).over(w).as("t1"),
+        lead(col("t"), 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t"), col("t1"), col("t2")).as("s0"))
+      .distinct()
+  }
 
   /** Exact n-gram Jaccard pairs ≥ τ. Candidates come from a self-join on
     * exploded shingles (only docs sharing ≥1 shingle are ever paired) —
     * the shingle is the shuffle key, so cost is Σ_shingle df² not n².
     */
   def ngramJaccard(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
-    val sh = docShingles(s, d)
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
+    val ex = explodedShingles(s, d)
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = ex.as("a").join(ex.as("b"),
         col("a.s0") === col("b.s0") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = sh.select(col("doc_id"), col("sz"))
+    joinSizesAndScore(inter, sizes, tau)
+  }
+
+  /** inter(a,b) ⋈ sizes → rounded Jaccard ≥ τ, ordered. */
+  private def joinSizesAndScore(inter: DataFrame, sizes: DataFrame, tau: Double): DataFrame =
     inter
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("sza") + col("szb") - col("inter")), 4))
       .filter(col("jaccard") >= tau)
       .select("a", "b", "jaccard")
       .orderBy("a", "b")
-  }
 
   private val MinhashPerms = 64
   private val Bands = 16 // 16 bands × 4 rows
 
-  /** MinHash signature: for permutation i, min over shingles of
-    * xxhash64(i, shingle). All 64 mins in one codegen'd projection.
-    */
-  private def minhashSig = {
-    val shCol = col("sh")
-    transform(sequence(lit(0), lit(MinhashPerms - 1)),
-      i => array_min(transform(shCol, sh0 => xxhash64(i, sh0))))
-  }
+  // Permutation i of a shingle's 64-bit base hash h is xxhash64(i, h):
+  // one string hash per shingle, then 64 cheap fixed-width long hashes —
+  // ANSI-safe (no wrapping multiply) and fully codegen'd.
 
-  /** MinHash + LSH near-dup detection: signature → 16 band keys → bucket
-    * self-join → candidates → verified exact Jaccard ≥ τ. The band bucket
-    * is the only shuffle key; verified Jaccard removes LSH false
-    * positives, so output = true near-dup pairs at LSH recall
-    * (~1.0 at j≈0.98 with 16×4 banding).
+  /** MinHash + LSH near-dup detection: base-hash shingles → 64 min
+    * aggregates (whole-stage-codegen HashAggregate with map-side partial
+    * mins — the shuffle carries 64 longs per doc, not shingles) → 16 band
+    * keys → bucket self-join → candidate pairs → exact-Jaccard
+    * verification via the shared shingle exchange. Verified Jaccard
+    * removes LSH false positives, so output = true near-dup pairs at LSH
+    * recall (~1.0 at j≈0.98 with 16×4 banding).
     */
   def minhashLsh(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
-    val sh = docShingles(s, d).filter(col("sz") > 0)
-    val sig = sh.withColumn("mh", minhashSig)
+    val ex = explodedShingles(s, d)
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val hashed = ex.select(col("doc_id"), xxhash64(col("s0")).as("h"))
+    val minAggs = (0 until MinhashPerms).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    val sig = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
     val rowsPerBand = MinhashPerms / Bands
     val bandKeys = (0 until Bands).map(j =>
-      xxhash64(lit(j), array_join(
-        transform(slice(col("mh"), j * rowsPerBand + 1, rowsPerBand),
-          e => e.cast("string")), ",")))
+      xxhash64(lit(j) +: (0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}")): _*))
     val bands = sig.select(
-      col("doc_id"), col("sh"), col("sz"),
+      col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("a"), col("b.doc_id").as("b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"),
-        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .dropDuplicates("a", "b")
-    cand
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sza") + col("szb") - col("inter")), 4))
-      .filter(col("jaccard") >= tau)
-      .select("a", "b", "jaccard")
-      .orderBy("a", "b")
+    // exact-Jaccard verification restricted to candidates: shingles of
+    // side a (broadcast-joined against the tiny candidate set) matched
+    // against shingles of side b.
+    val candA = ex.join(broadcast(cand), col("doc_id") === col("a"))
+      .select(col("a"), col("b"), col("s0"))
+    val inter = candA.join(ex.as("y"),
+        col("y.doc_id") === col("b") && col("y.s0") === candA("s0"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    joinSizesAndScore(inter, sizes, tau)
   }
 
   private val SimhashBits = 64
@@ -108,7 +128,8 @@ object Dedup {
     */
   def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until SimhashBits).map(i =>
       sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
@@ -144,13 +165,22 @@ object Dedup {
 
   /** Embedding near-dup: cosine ≥ τ within a blocking key (label). The
     * block is the shuffle key; at scale the block would be an LSH bucket
-    * (see Similarity.lshBuckets) instead of a metadata label.
+    * (see Similarity.lshBucket) instead of a metadata label.
+    *
+    * Norms are computed once per VECTOR before the pair join (not once
+    * per pair), and the per-pair work is a single codegen'd dot product
+    * ([[graft.plans.ArrayDotProduct]]) — measured 60 s → ~2 s at sf0.1.
     */
   def embeddingCosine(s: SparkSession, d: String, tau: Double = 0.4): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        GraftFunctions.norm(col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")), 4))
+      .withColumn("cos", round(
+        GraftFunctions.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 4))
       .filter(col("cos") >= tau)
       .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"), col("cos"))
       .orderBy("a", "b")

@@ -1,30 +1,32 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.VectorFunctions._
+import graft.plans.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (SURVEY.md §2c).
   *
   * Baseline: brute-force cosine top-k against a broadcast query vector —
-  * one narrow scan, TakeOrderedAndProject, no shuffle of the corpus.
+  * one narrow scan, one codegen'd dot per row ([[graft.plans.ArrayDotProduct]]),
+  * TakeOrderedAndProject; the corpus never shuffles.
   * Scale path: random-hyperplane LSH bucketing (IVF-style): rows are
   * pre-bucketed by 8 sign bits, a query scans only its probe buckets
   * (~9/256 of the corpus at 1 probe-bit) instead of everything.
   */
 object Similarity {
 
-  /** Brute-force cosine top-k for the query vector `vec_id = queryId`.
-    * The single-row query side is broadcast; the corpus never shuffles —
-    * Catalyst plans scan → project(cosine) → TakeOrderedAndProject.
-    */
+  /** Brute-force cosine top-k for the query vector `vec_id = queryId`. */
   def knnBrute(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    GraftFunctions.register(s)
     val e = Tables.embeddings(s, d)
-    val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), GraftFunctions.norm(col("embedding")).as("qn"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), round(cosine(col("embedding"), col("qv")), 4).as("sim"))
+      .select(col("vec_id"), round(
+        GraftFunctions.dot(col("embedding"), col("qv")) /
+          (GraftFunctions.norm(col("embedding")) * col("qn")), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -40,11 +42,14 @@ object Similarity {
     Array.fill(Hyperplanes, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** LSH bucket id of a vector column: 8 sign bits of hyperplane dots. */
+  /** LSH bucket id of a vector column: 8 sign bits of hyperplane dots
+    * (one codegen'd dot per plane). Caller must have registered
+    * [[GraftFunctions]] on the session.
+    */
   def lshBucket(v: Column): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
-      when(dot(v, planeLit) >= 0, lit(1 << i)).otherwise(lit(0))
+      when(GraftFunctions.dot(v, planeLit) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** IVF/LSH-bucketed ANN: compute buckets once, search only the query's
@@ -53,6 +58,7 @@ object Similarity {
     * partitions at the source.
     */
   def knnLsh(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).withColumn("bucket", lshBucket(col("embedding")))
     // one-row lookup of the query vector + its bucket (a query parameter,
     // not a data collect)
@@ -60,8 +66,11 @@ object Similarity {
     val qBucket = qRow.getInt(1)
     val probes = qBucket +: (0 until Hyperplanes).map(i => qBucket ^ (1 << i))
     val qv = array(qRow.getSeq[Float](0).map(f => lit(f.toDouble)): _*)
+    val qn = math.sqrt(qRow.getSeq[Float](0).map(f => f.toDouble * f).sum)
     e.filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
-      .select(col("vec_id"), round(cosine(col("embedding"), qv), 4).as("sim"),
+      .select(col("vec_id"), round(
+        GraftFunctions.dot(col("embedding"), qv) /
+          (GraftFunctions.norm(col("embedding")) * lit(qn)), 4).as("sim"),
         col("bucket"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)

@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.functions.call_function
+
+/** Registration for Graft's native expressions.
+  *
+  * Cluster path: `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  * Library path: `GraftFunctions.register(spark)` (idempotent) — used by
+  * the operators so they work on any session handed to them.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftFunctions.dotDescriptor)
+  }
+}
+
+object GraftFunctions {
+
+  private[plans] val dotDescriptor = (
+    new FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
+    (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      ArrayDotProduct(exprs(0), exprs(1)))
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit =
+    if (!spark.sessionState.functionRegistry.functionExists(dotDescriptor._1)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_dot", dotDescriptor._3, "built-in")
+    }
+
+  /** Codegen'd dot product (see [[ArrayDotProduct]]); requires register(). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** L2 norm via the codegen'd dot. */
+  def norm(v: Column): Column = org.apache.spark.sql.functions.sqrt(dot(v, v))
+}
