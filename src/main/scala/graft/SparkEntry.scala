@@ -32,6 +32,11 @@ object SparkEntry {
     "q12_having"             -> (Relational.havingAgg _),
     "q13_sessionize"         -> (EventOps.sessionize _),
     "q14_pivot"              -> (Relational.pivotEvents _),
+    "q15_percentiles"        -> (Relational.percentiles _),
+    "q16_stats"              -> (Relational.statsAgg _),
+    "q17_moving_avg"         -> (Relational.movingAvg _),
+    "q18_asof_join"          -> (Relational.asofJoin _),
+    "q19_range_join"         -> (Relational.rangeJoin _),
     // §2a reference-derived
     "q20_json_extract"       -> (EventOps.jsonExtract _),
     "q21_explode_tokens"     -> (EventOps.explodeTokens _),
@@ -100,7 +105,7 @@ object SparkEntry {
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
     "q08_semi_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
     "q09_union_dedup" ->
       """SELECT DISTINCT k FROM (
@@ -134,6 +139,36 @@ object SparkEntry {
         | FROM g)
         |SELECT user_id, session_id, count(*) AS n_events, round(sum(value),4) AS sum_value
         |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q15_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9),4) AS p90
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_stats" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity),4) AS sd_qty,
+        | round(corr(l_quantity, l_extendedprice),4) AS corr_qp,
+        | round(covar_samp(l_discount, l_tax),4) AS cov_dt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q17_moving_avg" ->
+      """SELECT d, round(rev,4) AS revenue,
+        | round(avg(rev) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),4) AS ma7
+        |FROM (SELECT CAST(l_shipdate AS DATE) AS d,
+        |       sum(l_extendedprice*(1-l_discount)) AS rev
+        |      FROM lineitem GROUP BY 1) t
+        |ORDER BY d""".stripMargin,
+    "q18_asof_join" ->
+      """SELECT event_id, max(o_orderdate) AS asof_orderdate
+        |FROM events LEFT JOIN orders
+        |  ON user_id = o_custkey AND o_orderdate <= ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_range_join" ->
+      """SELECT p.event_id, count(c.ts) AS n_clicks
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase') p
+        |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type='click') c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q14_pivot" ->
       """SELECT user_id,
         | count(*) FILTER (WHERE event_type='click') AS click,

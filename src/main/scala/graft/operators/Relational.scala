@@ -112,13 +112,13 @@ object Relational {
       .orderBy("o_custkey", "rnk", "o_orderkey")
   }
 
-  /** Anti join: customers that never ordered (broadcast the build side of
-    * the DISTINCT key set when small; Catalyst picks BroadcastHashJoin
-    * LeftAnti here).
+  /** Anti join: customers with no high-value order (Catalyst plans
+    * BroadcastHashJoin LeftAnti over the filtered key set).
     */
   def semiAntiJoin(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy("c_custkey")
 
@@ -156,6 +156,77 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
       .filter(col("n") >= 5)
       .orderBy("o_custkey")
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont`). At 100 TB switch to approx_percentile —
+    * bounded memory, one pass — this operator is the exact baseline.
+    */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"))
+      .orderBy("l_returnflag")
+
+  /** Statistical aggregates: stddev / correlation / covariance. */
+  def statsAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 4).as("cov_dt"))
+      .orderBy("l_returnflag")
+
+  /** Time-series: daily revenue with a 7-row moving average. The single
+    * unpartitioned window is fine for ~2.5k daily rows even at 100 TB
+    * (the daily aggregate is tiny); the heavy lifting is the grouped agg.
+    */
+  def movingAvg(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val w = Window.orderBy(col("d")).rowsBetween(-6, Window.currentRow)
+    daily
+      .select(col("d"), round(col("rev"), 4).as("revenue"),
+        round(avg(col("rev")).over(w), 4).as("ma7"))
+      .orderBy("d")
+  }
+
+  /** As-of join: latest order date at or before each event's timestamp
+    * for the same key — expressed as a range join + max aggregate, which
+    * shuffles each side once by the equi-key. (At 100 TB: sort within
+    * key partitions + merge, or a broadcast calendar of per-key order
+    * dates.)
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderdate"))
+    e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
+      .groupBy(col("event_id"))
+      .agg(max(col("o_orderdate")).as("asof_orderdate"))
+      .orderBy("event_id")
+  }
+
+  /** Range join: clicks by the same user in the hour before each
+    * purchase (equi-key + time-interval predicate).
+    */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+        col("c_user") === col("p_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"), "left")
+      .groupBy(col("p_id"))
+      .agg(count(col("c_ts")).as("n_clicks"))
+      .select(col("p_id").as("event_id"), col("n_clicks"))
+      .orderBy("event_id")
+  }
 
   /** Pivot: per-user event-type matrix (fixed pivot values → single pass,
     * no extra job to discover values).
