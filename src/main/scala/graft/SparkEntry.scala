@@ -44,6 +44,9 @@ object SparkEntry {
     "q23_accumulate_nested"  -> (EventOps.accumulateNested _),
     "q30_stream_windowed_counts" -> (StreamOps.windowedCounts _),
     "q31_stream_dedup"       -> (StreamOps.streamDedup _),
+    "q32_stream_session_window" -> (StreamOps.sessionWindows _),
+    "q33_stream_sliding"     -> (StreamOps.slidingCounts _),
+    "q34_stream_stateful"    -> (StreamOps.statefulCounts _),
     // §2c text analysis
     "q40_lang_id"            -> (TextAnalysis.langId _),
     "q41_quality_score"      -> (TextAnalysis.qualityScore _),
@@ -200,6 +203,27 @@ object SparkEntry {
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q31_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events ORDER BY 1,2""".stripMargin,
+    "q32_stream_session_window" ->
+      """WITH g AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT user_id, ts,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        | FROM g)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sess ORDER BY 1,2""".stripMargin,
+    "q33_stream_sliding" ->
+      """SELECT ws AS window_start, event_type, count(*) AS n FROM (
+        | SELECT date_trunc('hour', ts) AS ws, event_type FROM events
+        | UNION ALL
+        | SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events) t
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q34_stream_stateful" ->
+      """SELECT user_id, count(*) AS n FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q40_lang_id" ->
       """WITH t AS (SELECT lang, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
         |sc AS (SELECT lang,

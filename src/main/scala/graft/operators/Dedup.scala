@@ -121,7 +121,11 @@ object Dedup {
   }
 
   private val SimhashBits = 64
-  private val SimhashChunks = 8 // 8-bit chunks: pigeonhole guarantees recall for hamming ≤ 7
+  // 16-bit chunks: pigeonhole-complete for hamming ≤ 3, and fine enough
+  // that biased bit distributions (shared-vocab corpora) don't collapse
+  // into giant candidate buckets — 8-bit chunks measured a ~40× candidate
+  // blowup on the synthetic corpus.
+  private val SimhashChunks = 4
 
   /** 64-bit SimHash per document: per-bit ±1 majority over token hashes,
     * built as 64 conditional aggregates in one groupBy pass.
@@ -142,13 +146,14 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, candidate
-    * generation by 8-bit chunk equality (pigeonhole-complete for ≤ 7).
+    * generation by 16-bit chunk equality (pigeonhole-complete for ≤ 3;
+    * for the 4..6 range recall is high but not guaranteed).
     */
-  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     val sig = simhashSignatures(s, d)
     val chunkKeys = (0 until SimhashChunks).map(j =>
       shiftrightunsigned(col("simhash"), j * (SimhashBits / SimhashChunks))
-        .bitwiseAND(lit(0xFFL)))
+        .bitwiseAND(lit((1L << (SimhashBits / SimhashChunks)) - 1)))
     val chunks = sig.select(
       col("doc_id"), col("simhash"),
       posexplode(array(chunkKeys: _*)).as(Seq("chunk", "ckey")))

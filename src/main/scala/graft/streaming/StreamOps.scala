@@ -72,4 +72,59 @@ object StreamOps {
     val name = runToMemory(distinctPairs, "append")
     s.table(name).orderBy("user_id", "event_type")
   }
+
+  /** Gap-based session windows in the stream (`session_window`, 30 min
+    * gap) — the streaming twin of EventOps.sessionize; per (user,
+    * session) event counts keyed by the session start.
+    */
+  def sessionWindows(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count()
+    val name = runToMemory(agg, "complete")
+    s.table(name)
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("count").as("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Sliding windows: 2 h width, 1 h slide — every event lands in two
+    * windows; watermarked event-time aggregation.
+    */
+  def slidingCounts(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .count()
+    val name = runToMemory(agg, "complete")
+    s.table(name)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("count").as("n"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Custom keyed state via mapGroupsWithState — the general form of the
+    * reference's AccumulatedDependencyCount fold: a running per-key
+    * accumulator maintained by the engine's state store, emitted each
+    * micro-batch (update mode).
+    */
+  def statefulCounts(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import s.implicits._
+    val updated = eventsStream(s, d)
+      .select(col("user_id"))
+      .as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (user, total)
+      }
+      .toDF("user_id", "n")
+    val name = runToMemory(updated, "update")
+    // one input file → one micro-batch → the last (only) emission per key
+    // is the final total
+    s.table(name).groupBy(col("user_id")).agg(max(col("n")).as("n"))
+      .orderBy("user_id")
+  }
 }

@@ -49,4 +49,32 @@ class NpmPipelineSpec extends AnyFunSuite {
     val lines = NpmPipeline.prettyLines(acc).select("line").as[String].collect()
     assert(lines.contains("version: 1.1.0, Dependencies: 1, DevDependencies: 3"))
   }
+
+  test("streaming pipeline: throttled gz source → enrich → counts, equals batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_npm_stream_")
+    def writeGz(name: String, content: String): Unit = {
+      val out = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(dir.resolve(name)))
+      out.write(content.getBytes("UTF-8")); out.close()
+    }
+    // two files → with maxFilesPerTrigger=1 the source is throttled to
+    // two micro-batches (the reference's throttle+backpressure analog)
+    writeGz("a.txt.gz", "left-pad\n")
+    writeGz("b.txt.gz", "tiny\n")
+
+    val stream = graft.sources.GzipLines.readStream(spark, dir.toString, maxFilesPerTrigger = 1)
+    val counts = NpmPipeline.dependencyCounts(Registry.enrichWithClient(stream, registry))
+    val q = counts.writeStream.format("memory").queryName("npm_stream_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2) // really throttled
+
+    val streamed = spark.table("npm_stream_t")
+      .select("package", "version", "dependencies", "devDependencies")
+    val batch = NpmPipeline.dependencyCounts(
+      Registry.enrichWithClient(Seq("left-pad", "tiny").toDF("line"), registry))
+    assert(streamed.count() === 3L)
+    assert(streamed.exceptAll(batch).count() === 0L)
+  }
 }
