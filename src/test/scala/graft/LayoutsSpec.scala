@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.{Layouts, Skew}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutsSpec extends AnyFunSuite {
+  import SharedSpark.{spark, sf}
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      Layouts.writeBucketed(Tables.orders(spark, sf), "g_orders_b", "o_custkey", 4)
+      Layouts.writeBucketed(
+        Tables.customer(spark, sf).withColumnRenamed("c_custkey", "o_custkey"),
+        "g_cust_b", "o_custkey", 4)
+      val joined = Layouts.bucketedEquiJoin(spark, "g_orders_b", "g_cust_b", "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      // bucketed scan satisfies the join's distribution: no shuffle at all
+      assert(!plan.contains("Exchange hashpartitioning"))
+      assert(joined.count() === Tables.orders(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      spark.sql("DROP TABLE IF EXISTS g_orders_b")
+      spark.sql("DROP TABLE IF EXISTS g_cust_b")
+    }
+  }
+
+  test("salted join returns exactly the rows of the plain join") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey").as("k"))
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+    val plain = orders.join(cust, "k")
+    val salted = Skew.saltedJoin(orders, cust, "k", "o_orderkey", 8)
+    assert(salted.count() === plain.count())
+    assert(salted.select("k", "o_orderkey", "c_mktsegment")
+      .exceptAll(plain.select("k", "o_orderkey", "c_mktsegment")).count() === 0L)
+  }
+}
