@@ -42,6 +42,7 @@ object SparkEntry {
     "q21_explode_tokens"     -> (EventOps.explodeTokens _),
     "q22_dual_conditional_count" -> (EventOps.dualConditionalCount _),
     "q23_accumulate_nested"  -> (EventOps.accumulateNested _),
+    "q24_funnel"             -> (EventOps.funnel _),
     "q30_stream_windowed_counts" -> (StreamOps.windowedCounts _),
     "q31_stream_dedup"       -> (StreamOps.streamDedup _),
     "q32_stream_session_window" -> (StreamOps.sessionWindows _),
@@ -58,6 +59,7 @@ object SparkEntry {
     "q52_dedup_simhash"      -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q53_ngram_jaccard"      -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q54_dedup_embedding"    -> ((s, d) => Dedup.embeddingCosine(s, d)),
+    "q55_dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingCosineLsh(s, d)),
     // §2c similarity search
     "q60_knn_brute"          -> ((s, d) => Similarity.knnBrute(s, d)),
     "q61_knn_ivf"            -> ((s, d) => Similarity.knnLsh(s, d)),
@@ -198,6 +200,15 @@ object SparkEntry {
     "q23_accumulate_nested" ->
       """SELECT user_id, event_type, count(*) AS n, round(sum(value),4) AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q24_funnel" ->
+      """WITH f AS (
+        | SELECT user_id,
+        |  min(ts) FILTER (WHERE event_type='signup') AS first_signup,
+        |  min(ts) FILTER (WHERE event_type='purchase') AS first_purchase
+        | FROM events GROUP BY 1)
+        |SELECT count(*) AS n_users, count(first_signup) AS n_signed,
+        | count(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_converted
+        |FROM f""".stripMargin,
     "q30_stream_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,

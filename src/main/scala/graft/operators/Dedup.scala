@@ -168,6 +168,27 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Embedding near-dup with LSH-bucket blocking — the metadata-free
+    * scale path: pairs are only formed inside a random-hyperplane bucket
+    * (plus would-be 1-bit probes at higher recall settings), so cost is
+    * Σ_bucket n_b² instead of n².
+    */
+  def embeddingCosineLsh(s: SparkSession, d: String, tau: Double = 0.3): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.lshBucket(col("embedding")).as("bucket"),
+        GraftFunctions.norm(col("embedding")).as("nrm"))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(
+        GraftFunctions.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 4))
+      .filter(col("cos") >= tau)
+      .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"), col("cos"))
+      .orderBy("a", "b")
+  }
+
   /** Embedding near-dup: cosine ≥ τ within a blocking key (label). The
     * block is the shuffle key; at scale the block would be an LSH bucket
     * (see Similarity.lshBucket) instead of a metadata label.

@@ -69,6 +69,21 @@ object EventOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** Funnel analysis: signup → purchase conversion. One grouped pass
+    * computes each user's first signup / first purchase; a scalar
+    * aggregate folds them into funnel counts.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("first_signup")).as("n_signed"),
+        count(when(col("first_purchase") > col("first_signup"), 1)).as("n_converted"))
+
   /** Gap-based sessionization (30 min): lag + running sum of session
     * starts. Two window passes over the same (user_id, ts) sort — Spark
     * reuses the exchange+sort.

@@ -26,6 +26,10 @@ object NpmPipeline {
     */
   def dependencyCounts(parsed: DataFrame): DataFrame =
     parsed
+      // malformed / unparseable registry bodies are skipped, matching the
+      // reference's catch-and-continue (NpmPackage.scala:17-19)
+      .filter(col("meta").isNotNull && col("meta.name").isNotNull &&
+        col("meta.versions").isNotNull)
       .select(col("meta.name").as("package"), explode(col("meta.versions")).as(Seq("version", "v")))
       .select(
         col("package"),

@@ -45,6 +45,17 @@ object Registry {
     raw.withColumn("meta",
       from_json(col(bodyCol), org.apache.spark.sql.types.DataType.fromDDL(metadataSchema)))
 
+  /** The bulk path: join package names against a mirrored registry
+    * snapshot table (`name`, `body`). The snapshot side is broadcast when
+    * it fits, otherwise it's a plain shuffled equi-join — either way no
+    * per-row network I/O, which is the only sane shape at 100 TB.
+    */
+  def enrichFromSnapshot(names: DataFrame, snapshot: DataFrame,
+                         nameCol: String = "line"): DataFrame =
+    parseMetadata(
+      names.select(col(nameCol).as("name"))
+        .join(snapshot, "name"))
+
   /** Enrich a `line`/`name` DataFrame of package names through a client,
     * one client per partition (the Spark analog of a pooled connection).
     */

@@ -89,7 +89,8 @@ object StreamOps {
   }
 
   /** Sliding windows: 2 h width, 1 h slide — every event lands in two
-    * windows; watermarked event-time aggregation.
+    * windows. Complete mode (all windows emitted at drain); a production
+    * append-mode deployment adds `withWatermark` to close windows.
     */
   def slidingCounts(s: SparkSession, d: String): DataFrame = {
     val agg = eventsStream(s, d)

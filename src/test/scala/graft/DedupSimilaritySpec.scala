@@ -47,6 +47,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.count() > 0L)
   }
 
+  test("LSH-blocked embedding dedup: every pair is bucket-consistent and exact-cosine") {
+    val lsh = Dedup.embeddingCosineLsh(spark, sf, tau = 0.25).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, b, c) => assert(a < b && c >= 0.25) }
+  }
+
   test("knnBrute: self is excluded, sims sorted descending, k respected") {
     val rows = Similarity.knnBrute(spark, sf, queryId = 0L, k = 5).collect()
     assert(rows.length === 5)

@@ -15,14 +15,16 @@ class NpmPipelineSpec extends AnyFunSuite {
 
   // Trimmed registry documents in the npm registry shape the reference
   // parses (NpmPackage.scala:10-18, Version.scala).
-  private val registry = new LocalRegistry(Map(
+  private val bodies = Map(
     "left-pad" ->
       """{"name":"left-pad","versions":{
         |"1.0.0":{"name":"left-pad","dependencies":{"a":"^1.0.0","b":"~2.0.0"}},
         |"1.1.0":{"name":"left-pad","dependencies":{"a":"^1.0.0"},
         |         "devDependencies":{"mocha":"*","chai":"*","sinon":"*"}}}}""".stripMargin,
     "tiny" ->
-      """{"name":"tiny","versions":{"0.1.0":{"name":"tiny"}}}""".stripMargin))
+      """{"name":"tiny","versions":{"0.1.0":{"name":"tiny"}}}""".stripMargin)
+  private def registryBody(name: String): String = bodies(name)
+  private val registry = new LocalRegistry(bodies)
 
   test("dependencyCounts matches the reference's runtime/dev counting") {
     val names = Seq("left-pad", "tiny", "missing-pkg").toDF("line")
@@ -48,6 +50,38 @@ class NpmPipelineSpec extends AnyFunSuite {
 
     val lines = NpmPipeline.prettyLines(acc).select("line").as[String].collect()
     assert(lines.contains("version: 1.1.0, Dependencies: 1, DevDependencies: 3"))
+  }
+
+  test("malformed registry bodies are skipped, not fatal (reference parity)") {
+    val broken = new LocalRegistry(Map(
+      "good" -> """{"name":"good","versions":{"1.0.0":{"name":"good","dependencies":{"x":"*"}}}}""",
+      "garbage" -> """{{{not json""",
+      "empty-obj" -> """{}"""))
+    val counts = NpmPipeline.dependencyCounts(
+      Registry.enrichWithClient(Seq("good", "garbage", "empty-obj").toDF("line"), broken))
+      .collect()
+    assert(counts.map(_.getString(0)).toSeq === Seq("good"))
+    assert(counts.head.getInt(2) === 1)
+  }
+
+  test("snapshot enrichment (bulk join path) equals the client path") {
+    val snapshot = Seq(
+      ("left-pad", registryBody("left-pad")),
+      ("tiny", registryBody("tiny")),
+      ("unrequested", """{"name":"unrequested","versions":{}}""")).toDF("name", "body")
+    val names = Seq("left-pad", "tiny", "missing").toDF("line")
+    val viaSnapshot = NpmPipeline.dependencyCounts(Registry.enrichFromSnapshot(names, snapshot))
+    val viaClient = NpmPipeline.dependencyCounts(Registry.enrichWithClient(names, registry))
+    assert(viaSnapshot.count() === 3L)
+    assert(viaSnapshot.exceptAll(viaClient).count() === 0L)
+  }
+
+  test("reads the reference's own packages.txt.gz input format") {
+    val p = "/root/reference/src/main/resources/packages.txt.gz"
+    assume(new java.io.File(p).exists())
+    val names = graft.sources.GzipLines.read(spark, p)
+    assert(names.count() > 0L)
+    assert(names.filter(col("line").contains(" ")).count() === 0L) // one name per line
   }
 
   test("streaming pipeline: throttled gz source → enrich → counts, equals batch") {
