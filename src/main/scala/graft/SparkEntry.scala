@@ -25,6 +25,7 @@ object SparkEntry {
     "q05_topk"               -> (Relational.topK(_, _)),
     "q06_distinct_agg"       -> (Relational.distinctAgg _),
     "q07_window_rank"        -> (Relational.windowRank _),
+    "q07b_topk_custom_op"    -> (Relational.topKPerKeyCustom _),
     "q08_semi_anti_join"     -> (Relational.semiAntiJoin _),
     "q09_union_dedup"        -> (Relational.unionDedup _),
     "q10_rollup"             -> (Relational.rollupAgg _),
@@ -103,6 +104,12 @@ object SparkEntry {
         | count(DISTINCT o_orderpriority) AS n_prio, count(*) AS n_orders
         |FROM orders""".stripMargin,
     "q07_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rnk, round(o_totalprice,4) AS totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    "q07b_topk_custom_op" ->
       """SELECT o_custkey, o_orderkey, rnk, round(o_totalprice,4) AS totalprice FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,
         |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk

@@ -112,6 +112,21 @@ object Relational {
       .orderBy("o_custkey", "rnk", "o_orderkey")
   }
 
+  /** Same result as [[windowRank]] but through the library's custom
+    * whole-operator (`graft.plans.TopKPerKey`): LogicalPlan node →
+    * Strategy → bounded-heap physical exec. One hash shuffle, NO
+    * per-partition sort — the plan a window function can't give you.
+    */
+  def topKPerKeyCustom(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopK.perKey(
+      Tables.orders(s, d),
+      keyCols = Seq("o_custkey"),
+      sortCols = Seq(("o_totalprice", false), ("o_orderkey", true)),
+      k = 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk"),
+        round(col("o_totalprice"), 4).as("totalprice"))
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+
   /** Anti join: customers with no high-value order (Catalyst plans
     * BroadcastHashJoin LeftAnti over the filtered key set).
     */
