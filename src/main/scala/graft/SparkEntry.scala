@@ -29,6 +29,7 @@ object SparkEntry {
     "q08_semi_anti_join"     -> (Relational.semiAntiJoin _),
     "q09_union_dedup"        -> (Relational.unionDedup _),
     "q10_rollup"             -> (Relational.rollupAgg _),
+    "q10b_cube"              -> (Relational.cubeAgg _),
     "q11_correlated_subq"    -> (Relational.correlatedSubq _),
     "q12_having"             -> (Relational.havingAgg _),
     "q13_sessionize"         -> (EventOps.sessionize _),
@@ -64,6 +65,7 @@ object SparkEntry {
     // §2c similarity search
     "q60_knn_brute"          -> ((s, d) => Similarity.knnBrute(s, d)),
     "q61_knn_ivf"            -> ((s, d) => Similarity.knnLsh(s, d)),
+    "q62_embedding_centroids" -> (Similarity.centroids _),
     // §2c multimodal (declarative metadata path)
     "q70_binary_meta"        -> (Multimodal.binaryMeta _)
   )
@@ -129,6 +131,11 @@ object SparkEntry {
         | round(sum(o_totalprice),4) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+        |ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q10b_cube" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderpriority)
         |ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q11_correlated_subq" ->
       """SELECT c_custkey, round(c_acctbal,4) AS acctbal FROM customer c1
@@ -306,6 +313,12 @@ object SparkEntry {
         |SELECT vec_id, round(list_cosine_similarity(embedding, qv),4) AS sim
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q62_embedding_centroids" ->
+      """SELECT label, i, round(avg(e),4) AS mean_e FROM (
+        | SELECT label, unnest(embedding) AS e,
+        |        unnest(range(len(embedding))) AS i
+        | FROM embeddings) t
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q70_binary_meta" ->
       """SELECT doc_id AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | sha256(text) AS sha

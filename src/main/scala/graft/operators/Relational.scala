@@ -152,6 +152,24 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
       .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("o_orderpriority"))
 
+  /** CUBE: all grouping-set combinations. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("o_orderpriority"))
+
+  /** Sketch aggregates for 100 TB: HLL distinct + approximate quantiles —
+    * single pass, bounded memory, mergeable partials. Accuracy bounds are
+    * property-tested (no cross-engine oracle: sketch internals differ).
+    */
+  def approxAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("acd_cust"),
+        approx_percentile(col("o_totalprice"), lit(0.5), lit(10000)).as("ap50"))
+
   /** Correlated scalar subquery, decorrelated as a window aggregate:
     * customers above their segment's average balance. One pass, no join.
     */

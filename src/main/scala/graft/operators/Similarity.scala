@@ -31,6 +31,17 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-label centroid vectors via posexplode → (label, dim) hash agg —
+    * the codegen'd element-wise mean (no interpreted array lambdas), and
+    * the building block of IVF coarse quantization / k-means steps.
+    */
+  def centroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "e")))
+      .groupBy(col("label"), col("i"))
+      .agg(round(avg(col("e")), 4).as("mean_e"))
+      .orderBy("label", "i")
+
   private val Hyperplanes = 8
   private val Dim = 64
 
