@@ -28,6 +28,32 @@ final class LocalRegistry(snapshot: Map[String, String]) extends RegistryClient 
   override def fetch(name: String): Option[String] = snapshot.get(name)
 }
 
+/** Deterministic stand-in for the live HTTP registry (this container has
+  * zero egress): synthesizes a registry document per name from a hash of
+  * the name, with a fixed fraction of misses for 404 parity
+  * (NpmPackage.scala:9-11 only proceeds on statusCode 200).
+  * Swap for an HTTP-backed RegistryClient on a networked cluster.
+  */
+final class SyntheticRegistry extends RegistryClient {
+  override def fetch(name: String): Option[String] = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+      .hashUnsafeBytes2(name.getBytes("UTF-8"),
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        name.length, 42).toLong & 0x7fffffffL
+    if (h % 20 == 0) None // "404"
+    else {
+      val versions = (0 to (h % 3).toInt).map { i =>
+        val deps = (0 until ((h + i) % 4).toInt)
+          .map(j => s""""dep-$j":"^$j.0.0"""").mkString(",")
+        val devs = (0 until ((h + i) % 3).toInt)
+          .map(j => s""""devdep-$j":"*"""").mkString(",")
+        s""""1.$i.0":{"name":"$name","dependencies":{$deps},"devDependencies":{$devs}}"""
+      }.mkString(",")
+      Some(s"""{"name":"$name","versions":{$versions}}""")
+    }
+  }
+}
+
 object Registry {
 
   /** Schema of a (trimmed) npm registry document: versions →
