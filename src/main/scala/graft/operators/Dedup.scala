@@ -26,10 +26,13 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("h")
 
-  /** Exploded distinct 3-token shingles, one row per (doc_id, shingle).
+  /** Exploded distinct 3-token shingles, one row per (doc_id, shingle),
+    * the shingle identity being its 64-bit hash `xxhash64(t, t1, t2)` —
+    * every downstream consumer needs only equality, so no shuffle ever
+    * carries shingle STRINGS (collision odds at n shingles ≈ n²/2⁶⁵).
     *
     * Built on the codegen path — posexplode tokens → windowed lead(1/2)
-    * per doc → concat → distinct — instead of higher-order array lambdas,
+    * per doc → hash → distinct — instead of higher-order array lambdas,
     * which run interpreted (measured 24k shingles/s vs millions here).
     * The distinct's exchange doubles as the materialization barrier every
     * consumer (sizes, signatures, verification) reuses, the query-local
@@ -46,7 +49,7 @@ object Dedup {
         lead(col("t"), 1).over(w).as("t1"),
         lead(col("t"), 2).over(w).as("t2"))
       .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("t"), col("t1"), col("t2")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("t"), col("t1"), col("t2")).as("h"))
       .distinct()
   }
 
@@ -58,7 +61,7 @@ object Dedup {
     val ex = explodedShingles(s, d)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = ex.as("a").join(ex.as("b"),
-        col("a.s0") === col("b.s0") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .agg(count(lit(1)).as("inter"))
     joinSizesAndScore(inter, sizes, tau)
@@ -93,10 +96,9 @@ object Dedup {
   def minhashLsh(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
     val ex = explodedShingles(s, d)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val hashed = ex.select(col("doc_id"), xxhash64(col("s0")).as("h"))
     val minAggs = (0 until MinhashPerms).map(i =>
       min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-    val sig = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val sig = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
     val rowsPerBand = MinhashPerms / Bands
     val bandKeys = (0 until Bands).map(j =>
       xxhash64(lit(j) +: (0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}")): _*))
@@ -112,9 +114,9 @@ object Dedup {
     // side a (broadcast-joined against the tiny candidate set) matched
     // against shingles of side b.
     val candA = ex.join(broadcast(cand), col("doc_id") === col("a"))
-      .select(col("a"), col("b"), col("s0"))
+      .select(col("a"), col("b"), col("h"))
     val inter = candA.join(ex.as("y"),
-        col("y.doc_id") === col("b") && col("y.s0") === candA("s0"))
+        col("y.doc_id") === col("b") && col("y.h") === candA("h"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
     joinSizesAndScore(inter, sizes, tau)
