@@ -37,6 +37,23 @@ object NpmPipeline {
         coalesce(size(col("v.dependencies")), lit(0)).as("dependencies"),
         coalesce(size(col("v.devDependencies")), lit(0)).as("devDependencies"))
 
+  /** Reverse-dependency analytics — the inverse of the reference's
+    * per-version counts: for every dependency, how many distinct packages
+    * depend on it (in any version). The classic "most-depended-upon"
+    * registry query; scales as explode → distinct → count.
+    */
+  def reverseDependencyCounts(parsed: DataFrame): DataFrame =
+    parsed
+      .filter(col("meta").isNotNull && col("meta.name").isNotNull &&
+        col("meta.versions").isNotNull)
+      .select(col("meta.name").as("package"), explode(col("meta.versions")).as(Seq("version", "v")))
+      .filter(col("v.dependencies").isNotNull)
+      .select(col("package"), explode(map_keys(col("v.dependencies"))).as("dep"))
+      .distinct()
+      .groupBy(col("dep"))
+      .agg(count(lit(1)).as("n_dependents"))
+      .orderBy(col("n_dependents").desc, col("dep"))
+
   /** Global accumulation: package → sorted map(version → (deps, devDeps))
     * — the reference's AccumulatedDependencyCount as one grouped
     * aggregation instead of a single-threaded fold.

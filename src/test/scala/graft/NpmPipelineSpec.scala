@@ -52,6 +52,15 @@ class NpmPipelineSpec extends AnyFunSuite {
     assert(lines.contains("version: 1.1.0, Dependencies: 1, DevDependencies: 3"))
   }
 
+  test("reverseDependencyCounts: distinct dependents per dependency") {
+    val names = Seq("left-pad", "tiny").toDF("line")
+    val rev = NpmPipeline.reverseDependencyCounts(
+      Registry.enrichWithClient(names, registry))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // 'a' appears in both left-pad versions but counts once; 'b' in one
+    assert(rev === Map("a" -> 1L, "b" -> 1L))
+  }
+
   test("malformed registry bodies are skipped, not fatal (reference parity)") {
     val broken = new LocalRegistry(Map(
       "good" -> """{"name":"good","versions":{"1.0.0":{"name":"good","dependencies":{"x":"*"}}}}""",
