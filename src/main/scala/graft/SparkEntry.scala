@@ -62,6 +62,8 @@ object SparkEntry {
     "q53_ngram_jaccard"      -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q54_dedup_embedding"    -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "q55_dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingCosineLsh(s, d)),
+    "q56_deduped_corpus"     -> ((s, d) => Dedup.dedupedDocuments(s, d)
+                                    .orderBy("doc_id").select("doc_id", "text")),
     // §2c similarity search
     "q60_knn_brute"          -> ((s, d) => Similarity.knnBrute(s, d)),
     "q61_knn_ivf"            -> ((s, d) => Similarity.knnLsh(s, d)),

@@ -17,6 +17,49 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Resolve near-dup PAIRS into clusters by iterative min-label
+    * propagation (each node adopts the smallest representative among
+    * itself and its neighbors). Dup clusters are tiny and near-cliques,
+    * so this converges in a handful of iterations; each iteration is one
+    * join + one aggregate on the (small) pair set, never on the corpus.
+    * Returns (doc_id, rep) for every doc that appears in a pair.
+    */
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+    var labels = edges.select(col("x").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "y2"), col("y") === col("y2"))
+        .groupBy(col("x").as("doc_id"))
+        .agg(min(col("rep")).as("nrep"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
+        .filter(col("u.rep") =!= col("l.rep")).limit(1).count() > 0
+      labels = updated.localCheckpoint(true) // truncate the iterative lineage
+      converged = !changed
+      i += 1
+    }
+    labels
+  }
+
+  /** Materialize the deduplicated corpus: drop every doc whose cluster
+    * representative is a different (smaller) doc_id — near-dups from
+    * MinHash+LSH plus exact dups by definition of the pair set.
+    */
+  def dedupedDocuments(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
+    val toDrop = resolveClusters(minhashLsh(s, d, tau))
+      .filter(col("rep") =!= col("doc_id"))
+      .select(col("doc_id"))
+    Tables.documents(s, d)
+      .join(broadcast(toDrop), Seq("doc_id"), "left_anti")
+  }
+
   /** Exact dedup: hash-groupBy on md5(text); keeps the minimum doc_id as
     * the canonical representative. One shuffle on the 32-char hash.
     */
