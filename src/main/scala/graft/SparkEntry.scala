@@ -50,6 +50,8 @@ object SparkEntry {
     "q32_stream_session_window" -> (StreamOps.sessionWindows _),
     "q33_stream_sliding"     -> (StreamOps.slidingCounts _),
     "q34_stream_stateful"    -> (StreamOps.statefulCounts _),
+    "q35_stream_static_join" -> (StreamOps.streamStaticJoin _),
+    "q36_stream_stream_join" -> (StreamOps.streamStreamJoin _),
     // §2c text analysis
     "q40_lang_id"            -> (TextAnalysis.langId _),
     "q41_quality_score"      -> (TextAnalysis.qualityScore _),
@@ -251,6 +253,17 @@ object SparkEntry {
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q34_stream_stateful" ->
       """SELECT user_id, count(*) AS n FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q35_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_stream_stream_join" ->
+      """SELECT p.event_id AS p_id, c.ts AS c_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase') p
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type='click') c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |ORDER BY 1,2""".stripMargin,
     "q40_lang_id" ->
       """WITH t AS (SELECT lang, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
         |sc AS (SELECT lang,

@@ -103,6 +103,47 @@ object StreamOps {
       .orderBy("window_start", "event_type")
   }
 
+  /** Stream-static join: the streaming fact joined to a broadcast static
+    * dimension (the streaming twin of the reference's per-element
+    * enrichment — the dim snapshot replaces the HTTP fetch).
+    */
+  def streamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = broadcast(graft.Tables.customer(s, d))
+    val agg = eventsStream(s, d)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .count()
+    val name = runToMemory(agg, "complete")
+    s.table(name)
+      .select(col("c_mktsegment"), col("count").as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Stream-stream interval join: purchases matched to same-user clicks
+    * in the preceding hour, both sides watermarked so the join state is
+    * bounded (clicks older than watermark − 1 h are evicted).
+    */
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    // watermarks require TIMESTAMP (LTZ); under the UTC session the
+    // NTZ↔LTZ casts are wall-time identities
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").cast("timestamp").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").cast("timestamp").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+      col("c_ts") < col("p_ts"))
+    val name = runToMemory(
+      joined.select(col("p_id"), col("c_ts").cast("timestamp_ntz").as("c_ts")), "append")
+    s.table(name).orderBy("p_id", "c_ts")
+  }
+
   /** Custom keyed state via mapGroupsWithState — the general form of the
     * reference's AccumulatedDependencyCount fold: a running per-key
     * accumulator maintained by the engine's state store, emitted each
