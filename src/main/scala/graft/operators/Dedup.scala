@@ -25,8 +25,11 @@ object Dedup {
     * Returns (doc_id, rep) for every doc that appears in a pair.
     */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // materialize the (small) edge set once — otherwise every iteration
+    // re-executes the whole upstream pair-generation pipeline
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint(true)
     var labels = edges.select(col("x").as("doc_id")).distinct()
       .withColumn("rep", col("doc_id"))
     var converged = false
