@@ -28,6 +28,7 @@ object SparkEntry {
     "q07b_topk_custom_op"    -> (Relational.topKPerKeyCustom _),
     "q08_semi_anti_join"     -> (Relational.semiAntiJoin _),
     "q09_union_dedup"        -> (Relational.unionDedup _),
+    "q09b_set_ops"           -> (Relational.setOps _),
     "q10_rollup"             -> (Relational.rollupAgg _),
     "q10b_cube"              -> (Relational.cubeAgg _),
     "q11_correlated_subq"    -> (Relational.correlatedSubq _),
@@ -66,6 +67,7 @@ object SparkEntry {
     "q55_dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingCosineLsh(s, d)),
     "q56_deduped_corpus"     -> ((s, d) => Dedup.dedupedDocuments(s, d)
                                     .orderBy("doc_id").select("doc_id", "text")),
+    "q57_char_ngram_jaccard" -> ((s, d) => Dedup.charNgramJaccard(s, d)),
     // §2c similarity search
     "q60_knn_brute"          -> ((s, d) => Similarity.knnBrute(s, d)),
     "q61_knn_ivf"            -> ((s, d) => Similarity.knnLsh(s, d)),
@@ -130,6 +132,16 @@ object SparkEntry {
         | SELECT o_custkey AS k FROM orders
         | UNION ALL SELECT c_custkey AS k FROM customer) t
         |ORDER BY k""".stripMargin,
+    "q09b_set_ops" ->
+      """SELECT k, tag FROM (
+        | SELECT k, 'both' AS tag FROM (
+        |  SELECT o_custkey AS k FROM orders
+        |  INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 300000) t1
+        | UNION ALL
+        | SELECT k, 'small_only' AS tag FROM (
+        |  SELECT o_custkey AS k FROM orders
+        |  EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000) t2) u
+        |ORDER BY tag, k""".stripMargin,
     "q10_rollup" ->
       """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
         | round(sum(o_totalprice),4) AS total
@@ -316,6 +328,18 @@ object SparkEntry {
         | round(CAST(p.inter AS DOUBLE)/(sa.sz+sb.sz-p.inter),4) AS jaccard
         |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b
         |WHERE round(CAST(p.inter AS DOUBLE)/(sa.sz+sb.sz-p.inter),4) >= 0.5
+        |ORDER BY 1,2""".stripMargin,
+    "q57_char_ngram_jaccard" ->
+      """WITH ex AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text)-4),
+        |    i -> text[i:i+4])) AS sh
+        |  FROM documents WHERE length(text) >= 5) t),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |          FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT p.a, p.b, round(CAST(p.inter AS DOUBLE)/(sa.sz+sb.sz-p.inter),4) AS jaccard
+        |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b
+        |WHERE round(CAST(p.inter AS DOUBLE)/(sa.sz+sb.sz-p.inter),4) >= 0.6
         |ORDER BY 1,2""".stripMargin,
     "q54_dedup_embedding" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,

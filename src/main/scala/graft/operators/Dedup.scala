@@ -17,6 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Char-level 5-gram Jaccard pairs ≥ τ — the tokenizer-free dedup for
+    * scripts where whitespace tokenization fails (CJK etc). Same
+    * hashed-shingle + shared-exchange shape as the word-gram variant.
+    */
+  def charNgramJaccard(s: SparkSession, d: String, tau: Double = 0.6): DataFrame = {
+    val n = 5
+    val ex = Tables.documents(s, d)
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (n - 1))).as("i"))
+      .select(col("doc_id"), xxhash64(col("text").substr(col("i"), lit(n))).as("h"))
+      .distinct()
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    joinSizesAndScore(inter, sizes, tau)
+  }
+
   /** Resolve near-dup PAIRS into clusters by iterative min-label
     * propagation (each node adopts the smallest representative among
     * itself and its neighbors). Dup clusters are tiny and near-cliques,

@@ -144,6 +144,30 @@ object Relational {
       .distinct()
       .orderBy("k")
 
+  /** Set operations: INTERSECT / EXCEPT between key sets (customers
+    * with any order vs customers with a high-value order).
+    */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val anyOrder = Tables.orders(s, d).select(col("o_custkey").as("k"))
+    val bigOrder = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("k"))
+    anyOrder.intersect(bigOrder.select(col("k")))
+      .withColumn("tag", lit("both"))
+      .unionByName(anyOrder.except(bigOrder).withColumn("tag", lit("small_only")))
+      .orderBy("tag", "k")
+  }
+
+  /** Deterministic stratified sampling (seeded): the 100 TB way to build
+    * eval slices per stratum without a global shuffle. Sampling algorithm
+    * is engine-specific → property-tested, not oracled.
+    */
+  def stratifiedSample(s: SparkSession, d: String,
+                       fractions: Map[String, Double] = Map(
+                         "click" -> 0.5, "purchase" -> 0.1, "error" -> 0.0,
+                         "view" -> 0.25, "signup" -> 1.0),
+                       seed: Long = 42L): DataFrame =
+    Tables.events(s, d).stat.sampleBy("event_type", fractions, seed)
+
   /** ROLLUP hierarchical aggregation (GROUPING SETS). */
   def rollupAgg(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)

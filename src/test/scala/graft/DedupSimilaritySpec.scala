@@ -47,6 +47,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.count() > 0L)
   }
 
+  test("char n-gram jaccard finds the same planted dups as word n-gram") {
+    val word = Dedup.ngramJaccard(spark, sf, 0.5).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val char5 = Dedup.charNgramJaccard(spark, sf, 0.6).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(word === char5) // planted near-dups are dominant under both
+  }
+
+  test("stratified sampling respects zero and full strata deterministically") {
+    val sampled = graft.operators.Relational.stratifiedSample(spark, sf)
+    val counts = sampled.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = Tables.events(spark, sf).groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("error"))          // fraction 0.0
+    assert(counts("signup") === full("signup")) // fraction 1.0
+    val again = graft.operators.Relational.stratifiedSample(spark, sf).count()
+    assert(again === sampled.count())           // seeded → deterministic
+  }
+
   test("LSH-blocked embedding dedup: every pair is bucket-consistent and exact-cosine") {
     val lsh = Dedup.embeddingCosineLsh(spark, sf, tau = 0.25).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
