@@ -58,6 +58,7 @@ object SparkEntry {
     "q41_quality_score"      -> (TextAnalysis.qualityScore _),
     "q42_token_count"        -> (TextAnalysis.tokenCount _),
     "q43_fingerprint"        -> (TextAnalysis.fingerprint _),
+    "q44_tfidf"              -> ((s, d) => TextAnalysis.tfidf(s, d)),
     // §2c dedup
     "q50_dedup_exact"        -> (Dedup.exact _),
     "q51_dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -312,6 +313,15 @@ object SparkEntry {
     "q43_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q44_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+        |tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2 GROUP BY 1,2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+        |SELECT doc_id, token, round(tf * ln(n.n / df), 4) AS tfidf
+        |FROM tf JOIN dfreq USING (token), n
+        |ORDER BY tfidf DESC, doc_id, token LIMIT 100""".stripMargin,
     "q50_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

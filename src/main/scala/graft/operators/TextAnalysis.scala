@@ -95,6 +95,26 @@ object TextAnalysis {
         length(col("text")).cast("long").as("chars"))
       .orderBy("doc_id")
 
+  /** TF-IDF scoring: explode → tf per (doc, token) → df per token →
+    * tf·ln(N/df); top-100 scored terms. Corpus size N is a query
+    * parameter (one count action), df joins broadcast at any scale
+    * (vocabulary ≪ corpus).
+    */
+  def tfidf(s: SparkSession, d: String, topN: Int = 100): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.count().toDouble
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "token")
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(lit(n) / col("df")), 4).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
+      .limit(topN)
+  }
+
   /** Document fingerprinting: md5 over normalized text (exact-dup key) —
     * lowercased, whitespace-collapsed. Same md5 hex as DuckDB's.
     */
