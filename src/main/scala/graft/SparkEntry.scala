@@ -52,6 +52,7 @@ object SparkEntry {
     "q33_stream_sliding"     -> (StreamOps.slidingCounts _),
     "q34_stream_stateful"    -> (StreamOps.statefulCounts _),
     "q35_stream_static_join" -> (StreamOps.streamStaticJoin _),
+    "q37_stream_flatmap_sessions" -> (StreamOps.statefulSessions _),
     "q36_stream_stream_join" -> (StreamOps.streamStreamJoin _),
     // §2c text analysis
     "q40_lang_id"            -> (TextAnalysis.langId _),
@@ -270,6 +271,23 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q37_stream_flatmap_sessions" ->
+      """WITH g AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT user_id, ts,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        | FROM g),
+        |sessions AS (
+        | SELECT user_id, sess, min(ts) AS session_start, count(*) AS n_events
+        | FROM s GROUP BY 1,2)
+        |SELECT user_id, session_start, n_events FROM (
+        | SELECT *, max(sess) OVER (PARTITION BY user_id) AS mx FROM sessions) t
+        |WHERE sess < mx ORDER BY 1,2""".stripMargin,
     "q36_stream_stream_join" ->
       """SELECT p.event_id AS p_id, c.ts AS c_ts
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase') p

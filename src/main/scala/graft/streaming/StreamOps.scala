@@ -144,6 +144,48 @@ object StreamOps {
     s.table(name).orderBy("p_id", "c_ts")
   }
 
+  /** Session assembly via flatMapGroupsWithState — custom state emitting
+    * MANY rows per key (one per completed 30-min-gap session): the
+    * fully-general stateful shape. State carries the open session across
+    * micro-batches; here the source drains in one batch so every session
+    * closes at the end (production adds an event-time timeout to flush).
+    */
+  def statefulSessions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val gapMicros = 30L * 60 * 1000 * 1000
+    val out = eventsStream(s, d)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu")) // µs since epoch (UTC)
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[Long], (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[List[Long]]) =>
+          // state = pending timestamps not yet emitted as sessions
+          val all = (state.getOption.getOrElse(Nil) ++ rows.map(_._2)).sorted
+          val sessions = all.foldLeft(List.empty[List[Long]]) {
+            case (acc, t) if acc.nonEmpty && t - acc.head.head <= gapMicros =>
+              (t :: acc.head) :: acc.tail
+            case (acc, t) => List(t) :: acc
+          }
+          // last (most recent) session stays open in state; emit the rest
+          state.update(sessions.headOption.getOrElse(Nil))
+          sessions.drop(1).reverseIterator.map(sess =>
+            (user, sess.last, sess.size.toLong))
+      }
+    // Each user's most recent session stays open in state (NoTimeout →
+    // it never emits on a drained static source); the oracle therefore
+    // covers the CLOSED sessions, i.e. all but the last per user.
+    val name = runToMemory(out.toDF("user_id", "start_us", "n_events"), "append")
+    s.table(name)
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).cast("timestamp_ntz").as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Custom keyed state via mapGroupsWithState — the general form of the
     * reference's AccumulatedDependencyCount fold: a running per-key
     * accumulator maintained by the engine's state store, emitted each
