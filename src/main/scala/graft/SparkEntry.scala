@@ -359,7 +359,7 @@ object SparkEntry {
         |ORDER BY 1,2""".stripMargin,
     "q57_char_ngram_jaccard" ->
       """WITH ex AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text)-4),
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text)-4, 2),
         |    i -> text[i:i+4])) AS sh
         |  FROM documents WHERE length(text) >= 5) t),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),

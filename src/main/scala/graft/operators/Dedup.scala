@@ -25,10 +25,12 @@ object Dedup {
     */
   def charNgramJaccard(s: SparkSession, d: String, tau: Double = 0.6): DataFrame = {
     val n = 5
+    // stride-2 w-shingling: every 2nd gram position — half the shingle
+    // volume, same near-dup separation (dups share the strided set too)
     val ex = Tables.documents(s, d)
       .filter(length(col("text")) >= n)
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (n - 1))).as("i"))
+        explode(sequence(lit(1), length(col("text")) - (n - 1), lit(2))).as("i"))
       .select(col("doc_id"), xxhash64(col("text").substr(col("i"), lit(n))).as("h"))
       .distinct() // its exchange is the shared materialization barrier
     minhashLshPairs(ex, tau)
