@@ -60,6 +60,7 @@ object SparkEntry {
     "q42_token_count"        -> (TextAnalysis.tokenCount _),
     "q43_fingerprint"        -> (TextAnalysis.fingerprint _),
     "q44_tfidf"              -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    "q45_quality_gate"       -> (QualityGate.checkDocuments _),
     // §2c dedup
     "q50_dedup_exact"        -> (Dedup.exact _),
     "q51_dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -340,6 +341,17 @@ object SparkEntry {
         |SELECT doc_id, token, round(tf * ln(n.n / df), 4) AS tfidf
         |FROM tf JOIN dfreq USING (token), n
         |ORDER BY tfidf DESC, doc_id, token LIMIT 100""".stripMargin,
+    "q45_quality_gate" ->
+      """SELECT rule, violations FROM (
+        | SELECT 'doc_id_not_null' AS rule,
+        |        count(*) FILTER (WHERE doc_id IS NULL) AS violations FROM documents
+        | UNION ALL SELECT 'lang_known',
+        |        count(*) FILTER (WHERE lang NOT IN ('de','en','es','fr','zh')) FROM documents
+        | UNION ALL SELECT 'n_chars_matches',
+        |        count(*) FILTER (WHERE n_chars <> length(text)) FROM documents
+        | UNION ALL SELECT 'text_nonempty',
+        |        count(*) FILTER (WHERE length(text) = 0) FROM documents) t
+        |ORDER BY rule""".stripMargin,
     "q50_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.QualityGate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualityGateSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("rules count violations in one pass, sorted by rule name") {
+    val df = Seq(
+      (Some(1), "hello", 5),
+      (None, "", 0),
+      (Some(3), "abc", 9) // n_chars wrong
+    ).toDF("doc_id", "text", "n_chars")
+    val rules = Seq(
+      QualityGate.Rule("a_id_not_null", col("doc_id").isNull),
+      QualityGate.Rule("b_text_nonempty", length(col("text")) === 0),
+      QualityGate.Rule("c_n_chars", col("n_chars") =!= length(col("text"))))
+    val out = QualityGate.check(df, rules).as[(String, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("a_id_not_null", 1L), ("b_text_nonempty", 1L), ("c_n_chars", 1L)))
+  }
+
+  test("documents table passes its contract at sf0.001") {
+    val out = QualityGate.checkDocuments(spark, SharedSpark.sf)
+      .as[(String, Long)].collect()
+    assert(out.length == QualityGate.documentRules.length)
+    assert(out.forall(_._2 == 0L), s"violations: ${out.mkString(",")}")
+  }
+
+  test("a single scan: the plan contains exactly one aggregate pass over one relation") {
+    val df = QualityGate.checkDocuments(spark, SharedSpark.sf)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1, s"expected 1 relation, got ${leaves.map(_.nodeName)}")
+  }
+}
