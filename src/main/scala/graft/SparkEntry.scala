@@ -61,6 +61,9 @@ object SparkEntry {
     "q43_fingerprint"        -> (TextAnalysis.fingerprint _),
     "q44_tfidf"              -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "q45_quality_gate"       -> (QualityGate.checkDocuments _),
+    "q46_bigram_lm"          -> ((s, d) => CorpusOps.bigramCounts(s, d)),
+    "q47_pack_sequences"     -> ((s, d) => CorpusOps.packSequences(s, d)),
+    "q48_source_mix"         -> (CorpusOps.sourceMix _),
     // §2c dedup
     "q50_dedup_exact"        -> (Dedup.exact _),
     "q51_dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -352,6 +355,40 @@ object SparkEntry {
         | UNION ALL SELECT 'text_nonempty',
         |        count(*) FILTER (WHERE length(text) = 0) FROM documents) t
         |ORDER BY rule""".stripMargin,
+    "q46_bigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |  FROM (SELECT doc_id,
+        |               unnest(string_split(text, ' ')) AS t,
+        |               unnest(range(len(string_split(text, ' ')))) AS pos
+        |        FROM documents)
+        |  WHERE len(t) > 0)
+        |SELECT a.t AS w1, b.t AS w2, count(*) AS n
+        |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+        |GROUP BY 1, 2
+        |ORDER BY n DESC, w1, w2 LIMIT 100""".stripMargin,
+    "q47_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_off,
+        |  CAST((sum(n_tokens) OVER w - n_tokens) // 512 AS BIGINT) AS chunk_first,
+        |  CAST((sum(n_tokens) OVER w - 1) // 512 AS BIGINT) AS chunk_last
+        |FROM t
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY doc_id""".stripMargin,
+    "q48_source_mix" ->
+      """WITH src AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, tokens,
+        |  round(tokens / CAST(sum(tokens) OVER () AS DOUBLE), 4) AS share,
+        |  round(CAST(sum(tokens) OVER () AS DOUBLE) / count(*) OVER () / tokens, 4) AS up_weight
+        |FROM src ORDER BY source""".stripMargin,
     "q50_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

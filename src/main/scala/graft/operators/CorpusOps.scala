@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for LLM training-data pipelines: n-gram
+  * language-model statistics, sequence packing, and source mixing.
+  * All pure Catalyst expressions — scan-speed-bound at 100 TB.
+  */
+object CorpusOps {
+
+  /** Bigram language-model counts: top-N adjacent-token pairs. Runs on
+    * the codegen path (posexplode → per-doc lead window → hash agg);
+    * the heavy shuffle keys on doc_id (bounded by doc length), the final
+    * one on the bigram (vocabulary², partial-agg'd map-side).
+    */
+  def bigramCounts(s: SparkSession, d: String, topN: Int = 100): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .filter(length(col("t")) > 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tok
+      .select(col("doc_id"), col("t").as("w1"), lead(col("t"), 1).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** Sequence packing, concat-then-chunk: the training-data step that
+    * concatenates each source's token stream in doc_id order and cuts it
+    * into fixed-length sequences. Emits, per document, its token offset
+    * within the source stream and the first/last chunk it lands in.
+    *
+    * Partitioned by `source` on purpose: a GLOBAL running offset would
+    * serialize 100 TB through one partition; per-source streams keep the
+    * window a real parallel shuffle (source is the natural packing unit —
+    * training mixes are assembled per domain anyway).
+    */
+  def packSequences(s: SparkSession, d: String, seqLen: Int = 512): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("end_off") - col("n_tokens")).as("start_off"),
+        floor((col("end_off") - col("n_tokens")) / lit(seqLen.toLong)).as("chunk_first"),
+        floor((col("end_off") - 1) / lit(seqLen.toLong)).as("chunk_last"))
+      .orderBy("doc_id")
+  }
+
+  /** Source mixture report: per-source doc/token counts, token share, and
+    * the resampling weight that would flatten the mix to uniform
+    * (weight = target-tokens-per-source / actual-tokens). The windows run
+    * on the post-aggregation frame (|sources| rows), so the single
+    * unpartitioned window is a driver-sized frame, not a data shuffle.
+    */
+  def sourceMix(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.documents(s, d)
+      .select(col("source"), size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+    val all = Window.partitionBy()
+    agg
+      .withColumn("total", sum(col("tokens")).over(all).cast("double"))
+      .withColumn("n_sources", count(lit(1)).over(all))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("tokens") / col("total"), 4).as("share"),
+        round(col("total") / col("n_sources") / col("tokens"), 4).as("up_weight"))
+      .orderBy("source")
+  }
+}

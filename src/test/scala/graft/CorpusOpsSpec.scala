@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{CorpusOps, Scrub}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("bigramCounts: adjacent pairs with empty tokens skipped over") {
+    val out = CorpusOps.bigramCounts(spark, SharedSpark.sf, topN = 5)
+      .as[(String, String, Long)].collect()
+    assert(out.length == 5)
+    assert(out.map(_._3).sameElements(out.map(_._3).sorted.reverse))
+    assert(out.forall { case (a, b, n) => a.nonEmpty && b.nonEmpty && n > 0 })
+  }
+
+  test("packSequences: offsets are a per-source prefix sum, chunks consistent") {
+    val out = CorpusOps.packSequences(spark, SharedSpark.sf, seqLen = 64)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    // per source, start_off of doc k = sum of n_tokens of docs before it
+    out.groupBy(_._2).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._1)
+      var acc = 0L
+      sorted.foreach { case (_, _, n, start, cf, cl) =>
+        assert(start == acc)
+        assert(cf == start / 64)
+        assert(cl == (start + n - 1) / 64)
+        assert(cf <= cl)
+        acc += n
+      }
+    }
+  }
+
+  test("sourceMix: shares sum to 1, up-weights invert the shares") {
+    val out = CorpusOps.sourceMix(spark, SharedSpark.sf)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-2)
+    val s = out.size
+    out.foreach { case (_, _, _, share, w) =>
+      assert(math.abs(w * share * s - 1.0) < 0.05, s"share=$share w=$w")
+    }
+  }
+
+  test("Scrub.redact replaces email/phone/ip and counts them") {
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@corp.io or call 555-123-4567"),
+      (2L, "server at 10.0.0.1 and 192.168.1.255 up"),
+      (3L, "clean text only")).toDF("id", "text")
+    val red = Scrub.redactDocuments(df, "id", "text")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(red(0)._2 == "mail me at <EMAIL> or call <PHONE>")
+    assert(red(0)._3 == 1 && red(0)._4 == 1 && red(0)._5 == 0)
+    assert(red(1)._2 == "server at <IP> and <IP> up")
+    assert(red(1)._5 == 2)
+    assert(red(2)._2 == "clean text only")
+    val rep = Scrub.report(df, "text").as[(String, Long, Long)].collect()
+    assert(rep.toSeq == Seq(("email", 1L, 1L), ("ipv4", 1L, 2L), ("phone", 1L, 1L)))
+  }
+}
