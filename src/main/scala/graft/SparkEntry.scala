@@ -60,6 +60,7 @@ object SparkEntry {
     "q42_token_count"        -> (TextAnalysis.tokenCount _),
     "q43_fingerprint"        -> (TextAnalysis.fingerprint _),
     "q44_tfidf"              -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    "q25_retention"          -> (EventOps.retention _),
     "q45_quality_gate"       -> (QualityGate.checkDocuments _),
     "q46_bigram_lm"          -> ((s, d) => CorpusOps.bigramCounts(s, d)),
     "q47_pack_sequences"     -> ((s, d) => CorpusOps.packSequences(s, d)),
@@ -344,6 +345,12 @@ object SparkEntry {
         |SELECT doc_id, token, round(tf * ln(n.n / df), 4) AS tfidf
         |FROM tf JOIN dfreq USING (token), n
         |ORDER BY tfidf DESC, doc_id, token LIMIT 100""".stripMargin,
+    "q25_retention" ->
+      """WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohorts AS (SELECT user_id, min(day) AS cohort FROM active GROUP BY 1)
+        |SELECT cohort, CAST(a.day - c.cohort AS BIGINT) AS day_offset, count(*) AS n_users
+        |FROM active a JOIN cohorts c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q45_quality_gate" ->
       """SELECT rule, violations FROM (
         | SELECT 'doc_id_not_null' AS rule,

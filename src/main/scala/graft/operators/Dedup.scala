@@ -167,22 +167,49 @@ object Dedup {
     * all-pairs shingle join (char grams on a shared vocabulary made that
     * explode: 133 s vs ~3 s at sf0.1).
     */
-  private def minhashLshPairs(ex: DataFrame, tau: Double): DataFrame = {
+  private def minhashLshPairs(exIn: DataFrame, tau: Double): DataFrame = {
+    // The shingle table feeds FOUR consumers (sizes, signatures, and both
+    // sides of the candidate verification). Materialize it once — the
+    // query-local analog of the materialized shingle table a 100 TB
+    // deployment would keep as a real table — instead of re-running the
+    // explode+distinct pipeline per consumer.
+    val ex = exIn.localCheckpoint(true)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val minAggs = (0 until MinhashPerms).map(i =>
       min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    // One row per doc, 64 longs — tiny; materialized because it feeds
+    // four plan branches (two band sides, two pre-filter sides).
     val sig = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .localCheckpoint(true)
     val rowsPerBand = MinhashPerms / Bands
     val bandKeys = (0 until Bands).map(j =>
       xxhash64(lit(j) +: (0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}")): _*))
     val bands = sig.select(
       col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
-    val cand = bands.as("a").join(bands.as("b"),
+    val candRaw = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .dropDuplicates("a", "b")
+    // Signature-agreement pre-filter: the matching-minhash count is an
+    // unbiased Jaccard estimate (σ = √(j(1-j)/64) ≤ 0.063), so requiring
+    // agreement ≥ (τ - 0.25)·64 is a >4σ-safe bound for ANY true pair at
+    // τ while rejecting the band-collision false positives a shared
+    // vocabulary produces (measured 103k candidates → a few hundred).
+    // Exact verification below keeps the output exact; this only shrinks
+    // the expensive shingle-level join — the verification cost driver at
+    // 100 TB. The sig join is corpus-sized → auto-broadcast at small SF,
+    // shuffle join at scale (no explicit broadcast hint).
+    val agree = (0 until MinhashPerms)
+      .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val minAgree = math.max(0, math.ceil((tau - 0.25) * MinhashPerms).toInt)
+    val cand = candRaw
+      .join(sig.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("b") === col("sb.doc_id"))
+      .filter(agree >= minAgree)
+      .select(col("a"), col("b"))
     // exact-Jaccard verification restricted to candidates: shingles of
     // side a (broadcast-joined against the tiny candidate set) matched
     // against shingles of side b.

@@ -84,6 +84,24 @@ object EventOps {
         count(col("first_signup")).as("n_signed"),
         count(when(col("first_purchase") > col("first_signup"), 1)).as("n_converted"))
 
+  /** Cohort retention: users grouped by first-seen day (cohort), counted
+    * on each later active day as a day-offset matrix. The distinct
+    * (user, day) exchange feeds both the cohort min-agg and the activity
+    * join (ReusedExchange); the cohort side is user-dimension-sized, so
+    * the join broadcasts at small SF and shuffles on user_id at scale.
+    */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val active = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val cohorts = active.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
   /** Gap-based sessionization (30 min): lag + running sum of session
     * starts. Two window passes over the same (user_id, ts) sort — Spark
     * reuses the exchange+sort.

@@ -35,13 +35,23 @@ object StreamOps {
 
   private def runToMemory(df: DataFrame, mode: String): String = {
     val name = "graft_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful operators pay a fixed per-partition-per-batch state-store
+    // cost (open/commit/snapshot), so micro-batches want FAR fewer
+    // partitions than batch shuffles — the partition count is sized to
+    // per-TRIGGER volume, not corpus volume, and is pinned into the
+    // checkpoint at first run. Scope the override to this query's start.
+    val s = df.sparkSession
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     name
   }
 

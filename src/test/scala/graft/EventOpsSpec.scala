@@ -13,6 +13,19 @@ class EventOpsSpec extends AnyFunSuite {
     assert(total === 1000L)
   }
 
+  test("retention: day-0 cell of each cohort counts the whole cohort") {
+    val rows = EventOps.retention(spark, sf)
+      .collect().map(r => (r.getDate(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val day0 = rows.filter(_._2 == 0L).map(r => (r._1, r._3)).toMap
+    // every user is active on their cohort day by construction, so the
+    // day-0 counts sum to the number of distinct users
+    val users = EventOps.retention(spark, sf).sparkSession
+      .read.parquet(s"$sf/events.parquet").select("user_id").distinct().count()
+    assert(day0.values.sum == users)
+    assert(rows.forall(_._3 > 0))
+  }
+
   test("dualConditionalCount computes both branches in one aggregate") {
     val df = EventOps.dualConditionalCount(spark, sf)
     val aggs = df.queryExecution.optimizedPlan.collect {
