@@ -120,4 +120,31 @@ class NpmPipelineSpec extends AnyFunSuite {
     assert(streamed.count() === 3L)
     assert(streamed.exceptAll(batch).count() === 0L)
   }
+
+  test("full reference dataflow on the CUSTOM DSv2 source: gz → throttle → enrich → counts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_npm_dsv2_")
+    val f = dir.resolve("pkgs.txt.gz")
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(f))
+    out.write("left-pad\ntiny\n".getBytes("UTF-8")); out.close()
+
+    val stream = spark.readStream
+      .format(classOf[graft.sources.ThrottledLinesSource].getName)
+      .option("path", f.toString)
+      .option("linesPerTrigger", "1") // the reference's throttle(1, 3s)
+      .load()
+    val counts = NpmPipeline.dependencyCounts(
+      Registry.enrichWithClient(stream, registry))
+    val q = counts.writeStream.format("memory").queryName("npm_dsv2_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2) // 1 name per batch
+
+    val streamed = spark.table("npm_dsv2_t")
+      .select("package", "version", "dependencies", "devDependencies")
+    val batch = NpmPipeline.dependencyCounts(
+      Registry.enrichWithClient(Seq("left-pad", "tiny").toDF("line"), registry))
+    assert(streamed.count() === 3L)
+    assert(streamed.exceptAll(batch).count() === 0L)
+  }
 }

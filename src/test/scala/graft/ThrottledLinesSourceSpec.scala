@@ -1,0 +1,53 @@
+package graft
+
+import graft.sources.ThrottledLinesSource
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class ThrottledLinesSourceSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def runAvailableNow(path: String, perTrigger: Int) = {
+    val name = "tls_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream
+      .format(classOf[ThrottledLinesSource].getName)
+      .option("path", path)
+      .option("linesPerTrigger", perTrigger.toString)
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (name, q.recentProgress.toSeq)
+  }
+
+  test("streams a gz file completely, in order, at most N lines per micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("tls_")
+    val f = dir.resolve("in.txt.gz")
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(f))
+    out.write((0 until 23).map(i => s"pkg-$i").mkString("\n").getBytes("UTF-8"))
+    out.close()
+
+    val (name, progress) = runAvailableNow(f.toString, perTrigger = 5)
+    val rows = spark.table(name).orderBy("line_no").as[(Long, String)].collect()
+    assert(rows.length == 23)
+    assert(rows.map(_._2).toSeq == (0 until 23).map(i => s"pkg-$i"))
+    assert(rows.map(_._1).toSeq == (0L until 23L))
+    // the throttle: no batch admitted more than 5 rows, and the 23 lines
+    // needed at least ceil(23/5) = 5 batches
+    val batchSizes = progress.map(_.numInputRows).filter(_ > 0)
+    assert(batchSizes.forall(_ <= 5), s"batch sizes: $batchSizes")
+    assert(batchSizes.sum == 23)
+    assert(batchSizes.length == 5)
+  }
+
+  test("reads the reference's packages.txt.gz through the custom source") {
+    val p = "/root/reference/src/main/resources/packages.txt.gz"
+    val (name, _) = runAvailableNow(p, perTrigger = 2)
+    val streamed = spark.table(name).as[(Long, String)].collect().map(_._2).toSeq
+    val batch = graft.sources.GzipLines.read(spark, p).as[String].collect().toSeq
+    assert(streamed.filter(_.nonEmpty) == batch)
+  }
+}
