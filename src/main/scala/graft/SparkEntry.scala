@@ -26,7 +26,10 @@ object SparkEntry {
     "q06_distinct_agg"       -> (Relational.distinctAgg _),
     "q07_window_rank"        -> (Relational.windowRank _),
     "q07b_topk_custom_op"    -> (Relational.topKPerKeyCustom _),
+    "q07c_window_suite"      -> (Relational.windowSuite _),
     "q08_semi_anti_join"     -> (Relational.semiAntiJoin _),
+    "q26_scalar_subq"        -> (Relational.scalarSubq _),
+    "q27_exists_subq"        -> (Relational.existsSubq _),
     "q09_union_dedup"        -> (Relational.unionDedup _),
     "q09b_set_ops"           -> (Relational.setOps _),
     "q10_rollup"             -> (Relational.rollupAgg _),
@@ -345,6 +348,29 @@ object SparkEntry {
         |SELECT doc_id, token, round(tf * ln(n.n / df), 4) AS tfidf
         |FROM tf JOIN dfreq USING (token), n
         |ORDER BY tfidf DESC, doc_id, token LIMIT 100""".stripMargin,
+    "q07c_window_suite" ->
+      """SELECT c_mktsegment, c_custkey,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | round(percent_rank() OVER w, 4) AS pct_rank,
+        | round(cume_dist() OVER w, 4) AS cume,
+        | first_value(c_custkey) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest,
+        | last_value(c_custkey) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q26_scalar_subq" ->
+      """SELECT o_orderkey, round(o_totalprice, 4) AS totalprice
+        |FROM orders
+        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q27_exists_subq" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
     "q25_retention" ->
       """WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |cohorts AS (SELECT user_id, min(day) AS cohort FROM active GROUP BY 1)

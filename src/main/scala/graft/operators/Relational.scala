@@ -206,6 +206,52 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Scalar subquery: rows above the GLOBAL average — the single-value
+    * subquery becomes a one-row broadcast (Catalyst subquery execution),
+    * never a per-row rescan.
+    */
+  def scalarSubq(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.createOrReplaceTempView("graft_orders_ssq")
+    s.sql(
+      """SELECT o_orderkey, round(o_totalprice, 4) AS totalprice
+        |FROM graft_orders_ssq
+        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM graft_orders_ssq)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Correlated EXISTS: customers with at least one urgent order —
+    * planned as a left-semi hash join (one shuffle, no subquery rescan).
+    */
+  def existsSubq(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_cust_esq")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_esq")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment
+        |FROM graft_cust_esq c
+        |WHERE EXISTS (SELECT 1 FROM graft_orders_esq o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Window-function suite beyond rank: ntile, percent_rank, cume_dist,
+    * first/last value over one (partition, order) — ONE exchange+sort
+    * serves all five functions.
+    */
+  def windowSuite(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val wRange = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"),
+        first(col("c_custkey")).over(wRange).as("poorest"),
+        last(col("c_custkey")).over(wRange).as("richest"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   /** HAVING: post-aggregation filter. */
   def havingAgg(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)

@@ -54,4 +54,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(grand.length === 1)
     assert(grand.head.getLong(2) === 1500L)
   }
+
+  test("existsSubq plans as a semi join, not a rescan") {
+    val plan = Relational.existsSubq(spark, sf)
+      .queryExecution.optimizedPlan.toString()
+    assert(plan.contains("LeftSemi"), plan.take(500))
+  }
+
+  test("windowSuite: all five functions share one window sort; quartiles cover 1..4") {
+    val df = Relational.windowSuite(spark, sf)
+    val sorts = df.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.trim.startsWith("Sort "))
+    // one partition-window sort + one output orderBy
+    assert(sorts <= 2, s"expected <=2 sorts, got $sorts")
+    val qs = df.select("quartile").distinct().collect().map(_.getLong(0)).sorted
+    assert(qs.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
 }
