@@ -70,6 +70,7 @@ object SparkEntry {
     "q48_source_mix"         -> (CorpusOps.sourceMix _),
     // §2c dedup
     "q50_dedup_exact"        -> (Dedup.exact _),
+    "q58_dedup_minhash_approx" -> ((s, d) => Dedup.minhashApprox(s, d)),
     "q51_dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q52_dedup_simhash"      -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q53_ngram_jaccard"      -> ((s, d) => Dedup.ngramJaccard(s, d)),

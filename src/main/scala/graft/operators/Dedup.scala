@@ -161,24 +161,39 @@ object Dedup {
   def minhashLsh(s: SparkSession, d: String, tau: Double = 0.5): DataFrame =
     minhashLshPairs(explodedShingles(s, d), tau)
 
-  /** LSH + exact-verification core over ANY hashed shingle table
-    * (doc_id, h). Works for word grams, char grams, or any feature set —
-    * candidate cost is bounded by the banding, never by Σ df² of an
-    * all-pairs shingle join (char grams on a shared vocabulary made that
-    * explode: 133 s vs ~3 s at sf0.1).
+  /** The 100 TB fast path: near-dup pairs scored by the minhash ESTIMATE
+    * alone (matching-minhash fraction, σ ≤ 0.063) — no shingle-level
+    * verification join at all, so per-pair cost is 64 long equalities on
+    * two signature rows. Use when the downstream (corpus pruning)
+    * tolerates estimate noise around τ; `minhashLsh` is the exact twin.
     */
-  private def minhashLshPairs(exIn: DataFrame, tau: Double): DataFrame = {
-    // The shingle table feeds FOUR consumers (sizes, signatures, and both
-    // sides of the candidate verification). Materialize it once — the
+  def minhashApprox(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
+    val (_, sig, candRaw) = lshCandidates(explodedShingles(s, d))
+    val agree = (0 until MinhashPerms)
+      .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    candRaw
+      .join(sig.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        round(agree.cast("double") / MinhashPerms, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= tau)
+      .orderBy("a", "b")
+  }
+
+  /** Shared LSH front-end: materialized shingles, materialized minhash
+    * signatures, and the band-bucket candidate pair set (a, b).
+    */
+  private def lshCandidates(exIn: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    // The shingle table feeds several consumers (sizes, signatures, both
+    // sides of exact verification). Materialize it once — the
     // query-local analog of the materialized shingle table a 100 TB
-    // deployment would keep as a real table — instead of re-running the
-    // explode+distinct pipeline per consumer.
+    // deployment would keep as a real table.
     val ex = exIn.localCheckpoint(true)
-    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val minAggs = (0 until MinhashPerms).map(i =>
       min(xxhash64(lit(i), col("h"))).as(s"m$i"))
     // One row per doc, 64 longs — tiny; materialized because it feeds
-    // four plan branches (two band sides, two pre-filter sides).
+    // four plan branches (two band sides, two agreement-join sides).
     val sig = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
       .localCheckpoint(true)
     val rowsPerBand = MinhashPerms / Bands
@@ -192,6 +207,18 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .dropDuplicates("a", "b")
+    (ex, sig, candRaw)
+  }
+
+  /** LSH + exact-verification core over ANY hashed shingle table
+    * (doc_id, h). Works for word grams, char grams, or any feature set —
+    * candidate cost is bounded by the banding, never by Σ df² of an
+    * all-pairs shingle join (char grams on a shared vocabulary made that
+    * explode: 133 s vs ~3 s at sf0.1).
+    */
+  private def minhashLshPairs(exIn: DataFrame, tau: Double): DataFrame = {
+    val (ex, sig, candRaw) = lshCandidates(exIn)
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // Signature-agreement pre-filter: the matching-minhash count is an
     // unbiased Jaccard estimate (σ = √(j(1-j)/64) ≤ 0.063), so requiring
     // agreement ≥ (τ - 0.25)·64 is a >4σ-safe bound for ANY true pair at

@@ -21,6 +21,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(exact === lsh)  // verified-jaccard LSH: no FPs; full recall here
   }
 
+  test("minhashApprox (no-verification fast path) covers the exact pair set") {
+    val exact = Dedup.minhashLsh(spark, sf, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val approx = Dedup.minhashApprox(spark, sf, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every exact pair comfortably above tau must be found, and its
+    // estimate must be within sketch error (4σ ≈ 0.25 at 64 perms)
+    exact.filter(_._3 >= 0.75).foreach { case (a, b, j) =>
+      val est = approx.get((a, b))
+      assert(est.isDefined, s"missing pair ($a,$b) j=$j")
+      assert(math.abs(est.get - j) <= 0.25, s"($a,$b): est=${est.get} vs j=$j")
+    }
+  }
+
   test("simhash: identical docs collide at hamming 0; output respects the cap") {
     // planted corpus: docs 1 and 2 identical, 3 unrelated
     import spark.implicits._
