@@ -43,6 +43,50 @@ class ThrottledLinesSourceSpec extends AnyFunSuite {
     assert(batchSizes.length == 5)
   }
 
+  test("checkpoint resume: stop mid-stream, restart, no loss and no duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("tls_resume_")
+    val f = dir.resolve("in.txt")
+    java.nio.file.Files.writeString(f, (0 until 200).map(i => s"row-$i").mkString("\n"))
+    val ckpt = dir.resolve("ckpt").toString
+    val outDir = dir.resolve("out").toString
+
+    def start() = spark.readStream
+      .format(classOf[ThrottledLinesSource].getName)
+      .option("path", f.toString)
+      .option("linesPerTrigger", "3")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .start()
+
+    // first run: let a few batches commit, then stop mid-stream
+    val q1 = start()
+    eventually { assert(q1.recentProgress.count(_.numInputRows > 0) >= 2) }
+    q1.stop(); q1.awaitTermination()
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst > 0 && afterFirst < 200, s"first run wrote $afterFirst")
+
+    // second run resumes from the committed line offset
+    val q2 = start()
+    eventually {
+      assert(spark.read.parquet(outDir).count() == 200)
+    }
+    q2.stop(); q2.awaitTermination()
+    val rows = spark.read.parquet(outDir).as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until 200L), "line_no gap or dup")
+    assert(rows.map(_._2).toSeq == (0 until 200).map(i => s"row-$i"))
+  }
+
+  private def eventually(assertion: => Unit, timeoutMs: Long = 30000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var last: Throwable = null
+    while (System.currentTimeMillis() < deadline) {
+      try { assertion; return }
+      catch { case t: Throwable => last = t; Thread.sleep(200) }
+    }
+    throw last
+  }
+
   test("reads the reference's packages.txt.gz through the custom source") {
     val p = "/root/reference/src/main/resources/packages.txt.gz"
     val (name, _) = runAvailableNow(p, perTrigger = 2)
