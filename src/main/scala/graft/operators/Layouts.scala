@@ -27,6 +27,29 @@ object Layouts {
   def bucketedEquiJoin(s: SparkSession, leftTable: String, rightTable: String,
                        key: String): DataFrame =
     s.table(leftTable).join(s.table(rightTable), key)
+
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ~`targetBytes` each (from the CURRENT on-disk size — post-encoding,
+    * so output files land near the target regardless of row width).
+    * Small-file proliferation is the classic silent killer of 100 TB
+    * scans: every file is a task + a footer read + an object-store
+    * request. Streaming sinks and fine-grained ingestion produce
+    * thousands of KB-files per partition; compaction restores scan-sized
+    * (~128 MB+) files. Uses a temp-dir swap so readers never observe a
+    * half-written directory.
+    */
+  def compact(s: SparkSession, dir: String, targetBytes: Long = 128L << 20): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
+    s.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+    nFiles.toLong
+  }
 }
 
 /** Skew mitigation for shuffle joins: salt the hot side's key into

@@ -38,4 +38,20 @@ class LayoutsSpec extends AnyFunSuite {
     assert(salted.select("k", "o_orderkey", "c_mktsegment")
       .exceptAll(plain.select("k", "o_orderkey", "c_mktsegment")).count() === 0L)
   }
+
+  test("compact: many small files become few target-sized files, data intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString + "/t"
+    val src = spark.read.parquet(s"${SharedSpark.sf}/lineitem.parquet")
+    src.repartition(64).write.parquet(dir) // simulate small-file ingestion
+    def parquetFiles = new java.io.File(dir).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles == 64)
+    val before = spark.read.parquet(dir)
+    val beforeCount = before.count()
+    val n = graft.operators.Layouts.compact(spark, dir, targetBytes = 512L * 1024)
+    assert(parquetFiles == n && n < 64, s"files=$parquetFiles target=$n")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == beforeCount)
+    assert(after.exceptAll(src).count() == 0L)
+  }
 }
