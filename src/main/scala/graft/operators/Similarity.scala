@@ -63,19 +63,31 @@ object Similarity {
       when(GraftFunctions.dot(v, planeLit) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** IVF/LSH-bucketed ANN: compute buckets once, search only the query's
-    * bucket plus all 1-bit-flip probe buckets. At 100 TB the bucketed
-    * table would be written out partitioned by bucket so a query prunes
-    * partitions at the source.
+  /** All bucket ids within hamming distance `r` of `bucket` (multi-probe
+    * fan-out: C(8,0)+C(8,1)+… buckets).
     */
-  def knnLsh(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+  private[graft] def probeSet(bucket: Int, r: Int): Seq[Int] = {
+    (0 to r).flatMap { dist =>
+      (0 until Hyperplanes).combinations(dist).map(_.foldLeft(bucket)((b, i) => b ^ (1 << i)))
+    }.distinct
+  }
+
+  /** IVF/LSH-bucketed ANN: compute buckets once, search only the query's
+    * bucket plus all probe buckets within `probeRadius` bit flips —
+    * the recall/cost dial (radius 1 ≈ 9/256 of the corpus, radius 2 ≈
+    * 37/256). At 100 TB the bucketed table would be written out
+    * partitioned by bucket so a probe set prunes partitions at the
+    * source.
+    */
+  def knnLsh(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
+             probeRadius: Int = 1): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).withColumn("bucket", lshBucket(col("embedding")))
     // one-row lookup of the query vector + its bucket (a query parameter,
     // not a data collect)
     val qRow = e.filter(col("vec_id") === queryId).select("embedding", "bucket").head()
     val qBucket = qRow.getInt(1)
-    val probes = qBucket +: (0 until Hyperplanes).map(i => qBucket ^ (1 << i))
+    val probes = probeSet(qBucket, probeRadius)
     val qv = array(qRow.getSeq[Float](0).map(f => lit(f.toDouble)): _*)
     val qn = math.sqrt(qRow.getSeq[Float](0).map(f => f.toDouble * f).sum)
     e.filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)

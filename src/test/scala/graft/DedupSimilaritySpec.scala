@@ -103,4 +103,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // every ANN result must carry the exact cosine the brute pass computed
     assert(lsh.forall(r => math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
+
+  test("multi-probe: recall@10 is monotone in probe radius, radius 8 = exhaustive") {
+    val brute = Similarity.knnBrute(spark, sf, 0L, 10).collect()
+      .map(_.getLong(0)).toSet
+    val recallAt = (0 to 2).map { r =>
+      val got = Similarity.knnLsh(spark, sf, 0L, 10, probeRadius = r).collect()
+        .map(_.getLong(0)).toSet
+      (brute intersect got).size
+    }
+    assert(recallAt == recallAt.sorted, s"recall not monotone: $recallAt")
+    // radius 8 flips every bit combination → scans all 256 buckets
+    assert(Similarity.probeSet(0, 8).size == 256)
+    val full = Similarity.knnLsh(spark, sf, 0L, 10, probeRadius = 8).collect()
+      .map(_.getLong(0)).toSet
+    assert(full == brute)
+  }
 }
