@@ -68,6 +68,8 @@ object SparkEntry {
     "q46_bigram_lm"          -> ((s, d) => CorpusOps.bigramCounts(s, d)),
     "q47_pack_sequences"     -> ((s, d) => CorpusOps.packSequences(s, d)),
     "q48_source_mix"         -> (CorpusOps.sourceMix _),
+    "q49_repetition"         -> (CorpusOps.repetition _),
+    "q59_decontaminate"      -> ((s, d) => CorpusOps.decontaminate(s, d)),
     // §2c dedup
     "q50_dedup_exact"        -> (Dedup.exact _),
     "q58_dedup_minhash_approx" -> ((s, d) => Dedup.minhashApprox(s, d)),
@@ -423,6 +425,31 @@ object SparkEntry {
         |  round(tokens / CAST(sum(tokens) OVER () AS DOUBLE), 4) AS share,
         |  round(CAST(sum(tokens) OVER () AS DOUBLE) / count(*) OVER () / tokens, 4) AS up_weight
         |FROM src ORDER BY source""".stripMargin,
+    "q49_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+        |               unnest(range(len(string_split(text,' ')))) AS pos FROM documents)
+        |  WHERE len(t) > 0),
+        |g AS (SELECT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS gram
+        |      FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.rn=a.rn+1
+        |                 JOIN tok c ON a.doc_id=c.doc_id AND c.rn=a.rn+2)
+        |SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct,
+        | round(1.0 - count(DISTINCT gram) / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q59_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |g AS (SELECT doc_id, source,
+        |        array_to_string(ts[CAST(i+1 AS BIGINT):CAST(i+8 AS BIGINT)], ' ') AS gram
+        |      FROM tok, unnest(range(len(ts)-7)) AS u(i)
+        |      WHERE len(ts) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+        |SELECT doc_id, count(DISTINCT gram) AS n_shared
+        |FROM (SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0') c
+        |JOIN bench USING (gram)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q50_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

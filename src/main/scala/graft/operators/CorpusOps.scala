@@ -55,6 +55,63 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * `n`-token shingle with an evaluation set (here the `src0` slice
+    * stands in for the benchmark). The benchmark shingle set is tiny
+    * relative to the corpus → broadcast to the corpus-shingle side, so
+    * the corpus is ONE narrow scan with a map-side semi-join — the only
+    * sane shape when the corpus is 100 TB and the benchmark is MBs.
+    */
+  def decontaminate(s: SparkSession, d: String, n: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = shingleHashes(docs.filter(col("source") === "src0"), n)
+      .select(col("h")).distinct()
+    val corpus = shingleHashes(docs.filter(col("source") =!= "src0"), n)
+    corpus.join(broadcast(bench), "h")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("h")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** Distinct hashed n-gram shingles per doc: posexplode → lead window →
+    * xxhash64 over the n tokens (the codegen shingling path).
+    */
+  private def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .filter(length(col("t")) > 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(i => lead(col("t"), i).over(w).as(s"t$i"))
+    tok
+      .select(col("doc_id") +: col("t") +: leads: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(col("t") +: (1 until n).map(i => col(s"t$i")): _*).as("h"))
+      .distinct()
+  }
+
+  /** Intra-document repetition score (the "repetitive text" quality
+    * filter): fraction of duplicate token trigrams within each document.
+    * One explode + one window + one agg — per-doc state never leaves its
+    * partition.
+    */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .filter(length(col("t")) > 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tok
+      .select(col("doc_id"), col("t"),
+        lead(col("t"), 1).over(w).as("t1"), lead(col("t"), 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), xxhash64(col("t"), col("t1"), col("t2")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count_distinct(col("h")).as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Source mixture report: per-source doc/token counts, token share, and
     * the resampling weight that would flatten the mix to uniform
     * (weight = target-tokens-per-source / actual-tokens). The windows run

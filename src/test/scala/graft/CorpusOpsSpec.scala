@@ -43,6 +43,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition: a planted repetitive doc scores higher than prose") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep_").toString
+    Seq(
+      (1L, "spam spam spam spam spam spam spam spam", "en", "s", 1),
+      (2L, "a quick brown fox jumps over the lazy dog", "en", "s", 1)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.repetition(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0)._4 > 0.8)  // "spam spam spam" trigram repeated
+    assert(out(1)._4 == 0.0) // all trigrams unique
+  }
+
+  test("decontaminate: flags only docs overlapping the benchmark slice") {
+    val flagged = CorpusOps.decontaminate(spark, SharedSpark.sf)
+      .as[(Long, Long)].collect()
+    assert(flagged.nonEmpty) // planted cross-source near-dups exist
+    assert(flagged.forall(_._2 > 0))
+    // no flagged doc is itself in the benchmark slice (src0)
+    val src0 = spark.read.parquet(s"${SharedSpark.sf}/documents.parquet")
+      .filter($"source" === "src0").select("doc_id").as[Long].collect().toSet
+    assert(flagged.forall(f => !src0.contains(f._1)))
+  }
+
   test("Scrub.redact replaces email/phone/ip and counts them") {
     val df = Seq(
       (1L, "mail me at jo.doe+x@corp.io or call 555-123-4567"),
