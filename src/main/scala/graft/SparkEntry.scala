@@ -29,6 +29,7 @@ object SparkEntry {
     "q07c_window_suite"      -> (Relational.windowSuite _),
     "q08_semi_anti_join"     -> (Relational.semiAntiJoin _),
     "q26_scalar_subq"        -> (Relational.scalarSubq _),
+    "q28_profile"            -> (Profiler.profileDocuments _),
     "q27_exists_subq"        -> (Relational.existsSubq _),
     "q09_union_dedup"        -> (Relational.unionDedup _),
     "q09b_set_ops"           -> (Relational.setOps _),
@@ -368,6 +369,20 @@ object SparkEntry {
         |FROM orders
         |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q28_profile" ->
+      """SELECT * FROM (
+        | SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        |   count(*) FILTER (WHERE doc_id IS NULL) AS n_nulls,
+        |   count(DISTINCT doc_id) AS n_distinct FROM documents
+        | UNION ALL SELECT 'lang', count(*),
+        |   count(*) FILTER (WHERE lang IS NULL), count(DISTINCT lang) FROM documents
+        | UNION ALL SELECT 'n_chars', count(*),
+        |   count(*) FILTER (WHERE n_chars IS NULL), count(DISTINCT n_chars) FROM documents
+        | UNION ALL SELECT 'source', count(*),
+        |   count(*) FILTER (WHERE source IS NULL), count(DISTINCT source) FROM documents
+        | UNION ALL SELECT 'text', count(*),
+        |   count(*) FILTER (WHERE text IS NULL), count(DISTINCT text) FROM documents
+        |) t ORDER BY col_name""".stripMargin,
     "q27_exists_subq" ->
       """SELECT c_custkey, c_mktsegment
         |FROM customer c

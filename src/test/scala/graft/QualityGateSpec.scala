@@ -30,6 +30,18 @@ class QualityGateSpec extends AnyFunSuite {
     assert(out.forall(_._2 == 0L), s"violations: ${out.mkString(",")}")
   }
 
+  test("Profiler: one pass, exact counts on a known frame") {
+    val df = Seq(
+      (Some(1), "x"), (Some(2), "x"), (None, "y")
+    ).toDF("id", "s")
+    val out = graft.operators.Profiler.profile(df, Seq("id", "s"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("id", 3L, 1L, 2L), ("s", 3L, 0L, 2L)))
+    val leaves = graft.operators.Profiler.profile(df, Seq("id", "s"))
+      .queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1)
+  }
+
   test("a single scan: the plan contains exactly one aggregate pass over one relation") {
     val df = QualityGate.checkDocuments(spark, SharedSpark.sf)
     val leaves = df.queryExecution.optimizedPlan.collectLeaves()
