@@ -65,6 +65,7 @@ object SparkEntry {
     "q43_fingerprint"        -> (TextAnalysis.fingerprint _),
     "q44_tfidf"              -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "q25_retention"          -> (EventOps.retention _),
+    "q29_full_outer"         -> (EventOps.fullOuter _),
     "q45_quality_gate"       -> (QualityGate.checkDocuments _),
     "q46_bigram_lm"          -> ((s, d) => CorpusOps.bigramCounts(s, d)),
     "q47_pack_sequences"     -> ((s, d) => CorpusOps.packSequences(s, d)),
@@ -395,6 +396,14 @@ object SparkEntry {
         |SELECT cohort, CAST(a.day - c.cohort AS BIGINT) AS day_offset, count(*) AS n_users
         |FROM active a JOIN cohorts c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q29_full_outer" ->
+      """WITH p AS (SELECT user_id, round(sum(value), 4) AS purchase_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS (SELECT user_id, count(*) AS n_clicks
+        |      FROM events WHERE event_type = 'click' GROUP BY 1)
+        |SELECT coalesce(p.user_id, c.user_id) AS user_id, purchase_value, n_clicks
+        |FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+        |ORDER BY user_id""".stripMargin,
     "q45_quality_gate" ->
       """SELECT rule, violations FROM (
         | SELECT 'doc_id_not_null' AS rule,

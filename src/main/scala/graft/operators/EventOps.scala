@@ -84,6 +84,25 @@ object EventOps {
         count(col("first_signup")).as("n_signed"),
         count(when(col("first_purchase") > col("first_signup"), 1)).as("n_converted"))
 
+  /** FULL OUTER join: per-user purchase totals vs click counts — users
+    * appearing on either side survive with nulls on the other (the join
+    * shape `left`/`semi`/`anti`/`inner` queries don't cover). Both sides
+    * are pre-aggregated so the join keys are unique (one shuffle each,
+    * then a 1:1 merge).
+    */
+  def fullOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 4).as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+    purchases.join(clicks, Seq("user_id"), "full_outer")
+      .select(col("user_id"), col("purchase_value"), col("n_clicks"))
+      .orderBy("user_id")
+  }
+
   /** Cohort retention: users grouped by first-seen day (cohort), counted
     * on each later active day as a day-offset matrix. The distinct
     * (user, day) exchange feeds both the cohort min-agg and the activity
