@@ -52,6 +52,7 @@ object SparkEntry {
     "q24_funnel"             -> (EventOps.funnel _),
     "q30_stream_windowed_counts" -> (StreamOps.windowedCounts _),
     "q31_stream_dedup"       -> (StreamOps.streamDedup _),
+    "q31b_stream_dedup_watermark" -> (StreamOps.streamDedupWatermarked _),
     "q32_stream_session_window" -> (StreamOps.sessionWindows _),
     "q33_stream_sliding"     -> (StreamOps.slidingCounts _),
     "q34_stream_stateful"    -> (StreamOps.statefulCounts _),
@@ -258,6 +259,8 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q31_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events ORDER BY 1,2""".stripMargin,
+    "q31b_stream_dedup_watermark" ->
       """SELECT DISTINCT user_id, event_type FROM events ORDER BY 1,2""".stripMargin,
     "q32_stream_session_window" ->
       """WITH g AS (

@@ -83,6 +83,24 @@ object StreamOps {
     s.table(name).orderBy("user_id", "event_type")
   }
 
+  /** The PRODUCTION dedup form: `dropDuplicatesWithinWatermark` — state
+    * for a key is evicted once the watermark passes it, so state size is
+    * bounded by the duplication horizon instead of the key domain. With
+    * the test corpus entirely inside the watermark, output ≡ batch
+    * distinct (the oracle); at scale the watermark is the knob that makes
+    * infinite-stream dedup feasible at all.
+    */
+  def streamDedupWatermarked(s: SparkSession, d: String): DataFrame = {
+    val deduped = eventsStream(s, d)
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("wts"))
+      .withWatermark("wts", "24 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val name = runToMemory(deduped, "append")
+    s.table(name).orderBy("user_id", "event_type")
+  }
+
   /** Gap-based session windows in the stream (`session_window`, 30 min
     * gap) — the streaming twin of EventOps.sessionize; per (user,
     * session) event counts keyed by the session start.
