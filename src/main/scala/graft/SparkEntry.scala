@@ -88,6 +88,7 @@ object SparkEntry {
     "q60_knn_brute"          -> ((s, d) => Similarity.knnBrute(s, d)),
     "q61_knn_ivf"            -> ((s, d) => Similarity.knnLsh(s, d)),
     "q62_embedding_centroids" -> (Similarity.centroids _),
+    "q63_kmeans"             -> ((s, d) => Similarity.kmeans(s, d)),
     // §2c multimodal (declarative metadata path)
     "q70_binary_meta"        -> (Multimodal.binaryMeta _)
   )

@@ -63,6 +63,66 @@ object Similarity {
       when(GraftFunctions.dot(v, planeLit) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Lloyd's k-means over the embedding column — the IVF codebook
+    * training step. Per iteration: assignment is ONE narrow scan with k
+    * codegen'd dot products per row (distance argmin via
+    * ||x-c||² ∝ -2x·c + ||c||², so ||x||² never needs recomputing);
+    * the centroid update is a (k·dim)-cell aggregate. Only the MODEL
+    * (k×dim doubles) ever reaches the driver — the standard k-means
+    * shape at any corpus size.
+    *
+    * Deterministic: initialized from the first k vectors by vec_id.
+    * Returns (iter, cluster, n, inertia) — one row per cluster per
+    * iteration, inertia monotonically non-increasing across iterations.
+    */
+  def kmeans(s: SparkSession, d: String, k: Int = 8, iters: Int = 3): DataFrame = {
+    GraftFunctions.register(s)
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true) // scanned once per iteration; truncate lineage
+    var centroids: Array[Array[Double]] = e
+      .filter(col("vec_id") < k).orderBy("vec_id")
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Double)]
+    for (it <- 1 to iters) {
+      val scores = centroids.zipWithIndex.map { case (c, j) =>
+        val cLit = array(c.map(lit): _*)
+        val c2 = c.map(x => x * x).sum
+        (GraftFunctions.dot(col("embedding"), cLit) * -2.0 + c2).as(s"s$j")
+      }
+      val xx = GraftFunctions.dot(col("embedding"), col("embedding"))
+      val scored = e.select(col("vec_id") +: col("embedding") +: xx.as("xx") +: scores: _*)
+      val sArr = array((0 until k).map(j => col(s"s$j")): _*)
+      val assigned = scored.select(
+        col("vec_id"), col("embedding"),
+        (col("xx") + array_min(sArr)).as("sq_dist"),
+        (array_position(sArr, array_min(sArr)) - 1).cast("int").as("cluster"))
+      // per-cluster stats for this iteration (one agg)
+      val stats = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), sum(col("sq_dist")).as("inertia"))
+        .collect().map(r => (it, r.getInt(0), r.getLong(1), r.getDouble(2)))
+      results ++= stats
+      // centroid update: (cluster, dim) mean — k·dim cells to the driver
+      val upd = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy(col("cluster"), col("i"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      val byCluster = upd.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { j =>
+        byCluster.get(j) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+          case None => centroids(j) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+    results.toSeq
+      .toDF("iter", "cluster", "n", "inertia")
+      .select(col("iter"), col("cluster"), col("n"), round(col("inertia"), 4).as("inertia"))
+      .orderBy("iter", "cluster")
+  }
+
   /** All bucket ids within hamming distance `r` of `bucket` (multi-probe
     * fan-out: C(8,0)+C(8,1)+… buckets).
     */

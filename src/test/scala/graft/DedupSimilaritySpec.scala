@@ -104,6 +104,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh.forall(r => math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
 
+  test("kmeans: inertia non-increasing per iteration, all points assigned") {
+    val rows = Similarity.kmeans(spark, sf, k = 4, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val totalByIter = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (it, rs) => (it, rs.map(_._3).sum, rs.map(_._4).sum) }
+    assert(totalByIter.map(_._1) == Seq(1, 2, 3))
+    val n0 = totalByIter.head._2
+    assert(totalByIter.forall(_._2 == n0)) // every point assigned each iter
+    val inertias = totalByIter.map(_._3)
+    assert(inertias.zip(inertias.tail).forall { case (a, b) => b <= a + 1e-6 },
+      s"inertia increased: $inertias")
+  }
+
   test("multi-probe: recall@10 is monotone in probe radius, radius 8 = exhaustive") {
     val brute = Similarity.knnBrute(spark, sf, 0L, 10).collect()
       .map(_.getLong(0)).toSet
