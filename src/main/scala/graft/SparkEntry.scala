@@ -73,6 +73,7 @@ object SparkEntry {
     "q48_source_mix"         -> (CorpusOps.sourceMix _),
     "q49_repetition"         -> (CorpusOps.repetition _),
     "q59_decontaminate"      -> ((s, d) => CorpusOps.decontaminate(s, d)),
+    "q64_training_corpus"    -> ((s, d) => Pipeline.trainingCorpus(s, d)),
     // §2c dedup
     "q50_dedup_exact"        -> (Dedup.exact _),
     "q58_dedup_minhash_approx" -> ((s, d) => Dedup.minhashApprox(s, d)),

@@ -67,6 +67,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(flagged.forall(f => !src0.contains(f._1)))
   }
 
+  test("trainingCorpus: survivors are unique, quality-banded, decontaminated, packed") {
+    val out = graft.operators.Pipeline.trainingCorpus(spark, SharedSpark.sf)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // every survivor within the token band
+    assert(out.forall(r => r._3 >= 10 && r._3 <= 1000))
+    // no exact duplicates among survivors (normalized fingerprints unique)
+    val docs = spark.read.parquet(s"${SharedSpark.sf}/documents.parquet")
+    val kept = out.map(_._1).toSet
+    val fps = docs.filter($"doc_id".isin(kept.toSeq: _*))
+      .select(md5(regexp_replace(lower($"text"), "\\s+", " "))).as[String].collect()
+    assert(fps.distinct.length == fps.length)
+    // no contaminated survivors
+    val contaminated = graft.operators.CorpusOps.decontaminate(spark, SharedSpark.sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.intersect(contaminated).isEmpty)
+    // offsets form a valid per-source prefix sum
+    out.groupBy(_._2).foreach { case (_, rs) =>
+      var acc = 0L
+      rs.sortBy(_._1).foreach { r => assert(r._4 == acc); acc += r._3 }
+    }
+  }
+
   test("Scrub.redact replaces email/phone/ip and counts them") {
     val df = Seq(
       (1L, "mail me at jo.doe+x@corp.io or call 555-123-4567"),
