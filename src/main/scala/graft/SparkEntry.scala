@@ -198,11 +198,23 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.9),4) AS p90
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q16_stats" ->
-      """SELECT l_returnflag,
-        | round(stddev_samp(l_quantity),4) AS sd_qty,
-        | round(corr(l_quantity, l_extendedprice),4) AS corr_qp,
-        | round(covar_samp(l_discount, l_tax),4) AS cov_dt
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH m AS (
+        | SELECT l_returnflag,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(round(l_quantity*10000) AS BIGINT)) AS DOUBLE) AS sq,
+        |  CAST(sum(CAST(round(l_quantity*10000) AS BIGINT)*CAST(round(l_quantity*10000) AS BIGINT)) AS DOUBLE) AS sqq,
+        |  CAST(sum(CAST(round(l_extendedprice*10000) AS BIGINT)) AS DOUBLE) AS sp,
+        |  CAST(sum(CAST(round(l_extendedprice*10000) AS BIGINT)*CAST(round(l_extendedprice*10000) AS BIGINT)) AS DOUBLE) AS spp,
+        |  CAST(sum(CAST(round(l_quantity*10000) AS BIGINT)*CAST(round(l_extendedprice*10000) AS BIGINT)) AS DOUBLE) AS sqp,
+        |  CAST(sum(CAST(round(l_discount*10000) AS BIGINT)) AS DOUBLE) AS sd,
+        |  CAST(sum(CAST(round(l_tax*10000) AS BIGINT)) AS DOUBLE) AS st,
+        |  CAST(sum(CAST(round(l_discount*10000) AS BIGINT)*CAST(round(l_tax*10000) AS BIGINT)) AS DOUBLE) AS sdt
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        | round(sqrt((sqq - sq*sq/n)/(n-1))/10000, 4) AS sd_qty,
+        | round((n*sqp - sq*sp)/(sqrt(n*sqq - sq*sq)*sqrt(n*spp - sp*sp)), 4) + 0.0 AS corr_qp,
+        | round((sdt - sd*st/n)/(n-1)/100000000.0, 4) + 0.0 AS cov_dt
+        |FROM m ORDER BY 1""".stripMargin,
     "q17_moving_avg" ->
       """SELECT d, round(rev,4) AS revenue,
         | round(avg(rev) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),4) AS ma7

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -272,15 +272,46 @@ object Relational {
         round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"))
       .orderBy("l_returnflag")
 
-  /** Statistical aggregates: stddev / correlation / covariance. */
-  def statsAgg(s: SparkSession, d: String): DataFrame =
+  /** Statistical aggregates: stddev / correlation / covariance.
+    *
+    * Built-in `stddev_samp`/`corr`/`covar_samp` accumulate doubles in
+    * partition-order-dependent ways, so two engines can land on opposite
+    * sides of a 4dp rounding boundary. Instead each value is quantized to
+    * a 1e-4-grid BIGINT per row (products stay < 2^63: max price 1.05e5 →
+    * 1.05e9 quantized → square 1.1e18), the raw moments (n, Σx, Σx², Σxy)
+    * are summed EXACTLY as DECIMAL(38,0), and sd/corr/cov are derived
+    * from those moments with one fixed double expression. The moments are
+    * order-independent, so any engine computing them gets bit-identical
+    * results — and the shuffle still carries only 9 numbers per group.
+    */
+  def statsAgg(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    def qz(c: Column): Column = round(c * lit(10000)).cast(LongType)
+    def dsum(c: Column): Column =
+      sum(c.cast(DecimalType(38, 0))).cast(DoubleType)
+    val q = qz(col("l_quantity")); val p = qz(col("l_extendedprice"))
+    val dd = qz(col("l_discount")); val t = qz(col("l_tax"))
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
-        round(covar_samp(col("l_discount"), col("l_tax")), 4).as("cov_dt"))
+        count(lit(1)).cast(DoubleType).as("n"),
+        dsum(q).as("sq"), dsum(q * q).as("sqq"),
+        dsum(p).as("sp"), dsum(p * p).as("spp"), dsum(q * p).as("sqp"),
+        dsum(dd).as("sd"), dsum(t).as("st"), dsum(dd * t).as("sdt"))
+      .select(
+        col("l_returnflag"),
+        round(sqrt((col("sqq") - col("sq") * col("sq") / col("n")) /
+          (col("n") - 1)) / 10000, 4).as("sd_qty"),
+        // `+ 0.0` collapses IEEE -0.0 to +0.0 (DuckDB keeps the sign
+        // through round(); BigDecimal-backed Spark round() does not).
+        (round((col("n") * col("sqp") - col("sq") * col("sp")) /
+          (sqrt(col("n") * col("sqq") - col("sq") * col("sq")) *
+            sqrt(col("n") * col("spp") - col("sp") * col("sp"))), 4) + 0.0)
+          .as("corr_qp"),
+        (round((col("sdt") - col("sd") * col("st") / col("n")) /
+          (col("n") - 1) / 100000000.0, 4) + 0.0).as("cov_dt"))
       .orderBy("l_returnflag")
+  }
 
   /** Time-series: daily revenue with a 7-row moving average. The single
     * unpartitioned window is fine for ~2.5k daily rows even at 100 TB
