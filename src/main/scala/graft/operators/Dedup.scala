@@ -78,8 +78,10 @@ object Dedup {
     val toDrop = resolveClusters(minhashLsh(s, d, tau))
       .filter(col("rep") =!= col("doc_id"))
       .select(col("doc_id"))
+    // No broadcast hint: the loser set can be ~half the corpus on a
+    // duplicate-heavy crawl. AQE still broadcasts it at small SFs.
     Tables.documents(s, d)
-      .join(broadcast(toDrop), Seq("doc_id"), "left_anti")
+      .join(toDrop, Seq("doc_id"), "left_anti")
   }
 
   /** Exact dedup: hash-groupBy on md5(text); keeps the minimum doc_id as
@@ -119,17 +121,29 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard pairs ≥ τ. Candidates come from a self-join on
-    * exploded shingles (only docs sharing ≥1 shingle are ever paired) —
-    * the shingle is the shuffle key, so cost is Σ_shingle df² not n².
+    * exploded shingles restricted to shingles with document frequency
+    * ≤ dfCap — a raw shingle self-join costs Σ_shingle df², which one hot
+    * shingle ("in the of") turns quadratic at 100×; the cap bounds it by
+    * dfCap·Σdf, linear in corpus size. Each candidate is then verified
+    * with the EXACT Jaccard over the FULL shingle sets, so the output is
+    * exact for every pair that shares at least one sub-cap shingle — any
+    * pair at τ whose shared shingles are ALL in >dfCap docs is itself a
+    * member of a >dfCap near-dup cluster, which exact dedup (q50) or the
+    * LSH path (q51) already catches.
     */
-  def ngramJaccard(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
-    val ex = explodedShingles(s, d)
+  def ngramJaccard(s: SparkSession, d: String, tau: Double = 0.5,
+                   dfCap: Int = 256): DataFrame = {
+    // materialized once: feeds df-counts, candidates, sizes, verification
+    val ex = explodedShingles(s, d).localCheckpoint(true)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = ex.as("a").join(ex.as("b"),
+    val rare = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("h"))
+    val rareEx = ex.join(rare, "h")
+    val cand = rareEx.as("a").join(rareEx.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    joinSizesAndScore(inter, sizes, tau)
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .dropDuplicates("a", "b")
+    verifyExactJaccard(ex, cand, sizes, tau)
   }
 
   /** inter(a,b) ⋈ sizes → rounded Jaccard ≥ τ, ordered. */
@@ -237,10 +251,18 @@ object Dedup {
       .join(sig.as("sb"), col("b") === col("sb.doc_id"))
       .filter(agree >= minAgree)
       .select(col("a"), col("b"))
-    // exact-Jaccard verification restricted to candidates: shingles of
-    // side a (broadcast-joined against the tiny candidate set) matched
-    // against shingles of side b.
-    val candA = ex.join(broadcast(cand), col("doc_id") === col("a"))
+    verifyExactJaccard(ex, cand, sizes, tau)
+  }
+
+  /** Exact-Jaccard verification restricted to a candidate pair set:
+    * shingles of side a joined against the candidate set, matched against
+    * shingles of side b. No broadcast hint on the candidate side — it is
+    * banding-bounded in expectation but skew-prone on adversarial
+    * corpora; AQE broadcasts it at small SFs and shuffles it when big.
+    */
+  private def verifyExactJaccard(ex: DataFrame, cand: DataFrame,
+                                 sizes: DataFrame, tau: Double): DataFrame = {
+    val candA = ex.join(cand, col("doc_id") === col("a"))
       .select(col("a"), col("b"), col("h"))
     val inter = candA.join(ex.as("y"),
         col("y.doc_id") === col("b") && col("y.h") === candA("h"))

@@ -48,9 +48,13 @@ object Pipeline {
     //    benchmark slice.
     val contaminated = CorpusOps.decontaminate(s, d).select(col("doc_id"))
 
+    // No broadcast hints: both drop-sets are corpus-derived and can be a
+    // large fraction of the corpus on a duplicate-heavy / contaminated
+    // crawl — a forced broadcast is a driver OOM at 100 TB. AQE still
+    // broadcasts them at small SFs where they measure in MBs.
     val clean = keepExact
-      .join(broadcast(nearDupLosers), Seq("doc_id"), "left_anti")
-      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
 
     // 5. pack the survivors into fixed-length sequences per source.
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
