@@ -120,30 +120,47 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard pairs ≥ τ. Candidates come from a self-join on
-    * exploded shingles restricted to shingles with document frequency
-    * ≤ dfCap — a raw shingle self-join costs Σ_shingle df², which one hot
-    * shingle ("in the of") turns quadratic at 100×; the cap bounds it by
-    * dfCap·Σdf, linear in corpus size. Each candidate is then verified
-    * with the EXACT Jaccard over the FULL shingle sets, so the output is
-    * exact for every pair that shares at least one sub-cap shingle — any
-    * pair at τ whose shared shingles are ALL in >dfCap docs is itself a
-    * member of a >dfCap near-dup cluster, which exact dedup (q50) or the
-    * LSH path (q51) already catches.
+  /** Exact n-gram Jaccard pairs ≥ τ. A raw shingle self-join costs
+    * Σ_shingle df², which one hot shingle ("in the of") turns quadratic
+    * at 100×. Split shingles at document frequency dfCap:
+    *
+    *   inter(a,b) = |rare(a) ∩ rare(b)| + |hot(a) ∩ hot(b)|
+    *
+    * The rare half comes from the self-join restricted to df ≤ dfCap
+    * (cost ≤ dfCap·Σdf, linear in corpus size, one shuffle — same
+    * single-pass shape as the uncapped join). The hot half is a join
+    * against the per-doc hot-shingle set table, whose width is bounded:
+    * there are ≤ Σdf/dfCap hot shingles globally, and ≤ docLen per doc.
+    * The sum is the exact intersection for every pair sharing ≥ 1 rare
+    * shingle; a pair at τ whose shared shingles are ALL in >dfCap docs
+    * is itself part of a >dfCap-sized near-dup cluster, which exact
+    * dedup (q50) or the LSH path (q51) already catches.
     */
   def ngramJaccard(s: SparkSession, d: String, tau: Double = 0.5,
                    dfCap: Int = 256): DataFrame = {
-    // materialized once: feeds df-counts, candidates, sizes, verification
-    val ex = explodedShingles(s, d).localCheckpoint(true)
+    // ex's distinct-exchange is reused by every consumer below
+    // (ReusedExchange within the single action) — no eager checkpoint.
+    val ex = explodedShingles(s, d)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val rare = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select(col("h"))
-    val rareEx = ex.join(rare, "h")
-    val cand = rareEx.as("a").join(rareEx.as("b"),
+    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("h"))
+    // no broadcast hint: |hot| ≤ Σdf/dfCap is small in practice but
+    // corpus-derived; AQE broadcasts it when it measures small.
+    val rareEx = ex.join(hot, Seq("h"), "left_anti")
+    val interRare = rareEx.as("a").join(rareEx.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-      .dropDuplicates("a", "b")
-    verifyExactJaccard(ex, cand, sizes, tau)
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter_rare"))
+    val docHot = ex.join(hot, "h")
+      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+    val inter = interRare
+      .join(docHot.select(col("doc_id").as("a"), col("hs").as("hsa")), Seq("a"), "left")
+      .join(docHot.select(col("doc_id").as("b"), col("hs").as("hsb")), Seq("b"), "left")
+      .select(col("a"), col("b"),
+        (col("inter_rare") +
+          coalesce(size(array_intersect(col("hsa"), col("hsb"))).cast("long"), lit(0L)))
+          .as("inter"))
+    joinSizesAndScore(inter, sizes, tau)
   }
 
   /** inter(a,b) ⋈ sizes → rounded Jaccard ≥ τ, ordered. */

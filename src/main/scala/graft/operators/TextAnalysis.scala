@@ -96,21 +96,23 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** TF-IDF scoring: explode → tf per (doc, token) → df per token →
-    * tf·ln(N/df); top-100 scored terms. Corpus size N is a query
-    * parameter (one count action), df joins broadcast at any scale
-    * (vocabulary ≪ corpus).
+    * tf·ln(N/df); top-100 scored terms. Corpus size N is a 1-row
+    * aggregate cross-joined into the plan — one DAG, no separate
+    * count action re-scanning the corpus. df joins broadcast at any
+    * scale (vocabulary ≪ corpus).
     */
   def tfidf(s: SparkSession, d: String, topN: Int = 100): DataFrame = {
     val docs = Tables.documents(s, d)
-    val n = docs.count().toDouble
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),
-        round(col("tf") * log(lit(n) / col("df")), 4).as("tfidf"))
+        round(col("tf") * log(col("n") / col("df")), 4).as("tfidf"))
       .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
       .limit(topN)
   }

@@ -17,20 +17,28 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamOps {
 
+  // One staged copy per source file for the lifetime of the JVM — q36
+  // builds two streams over the same input and the bench runs 9 streaming
+  // queries; re-copying per call cost a file copy + dir churn each time.
+  private val stagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$d/events.parquet"
     // The file-stream source requires a directory; stage the (read-only)
     // input file into a temp dir. On a cluster the source would already
     // be a directory of arriving files.
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
-    dir.toFile.deleteOnExit()
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      dir.resolve("events.parquet"))
+    val dir = stagedDirs.getOrElseUpdate(path, {
+      val t = java.nio.file.Files.createTempDirectory("graft_stream_")
+      t.toFile.deleteOnExit()
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        t.resolve("events.parquet"))
+      t.toString
+    })
     val schema = s.read.parquet(path).schema // ts arrives as long (ns)
     graft.Tables.withEventTs(
       s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(dir.toString))
+        .parquet(dir))
   }
 
   private def runToMemory(df: DataFrame, mode: String): String = {
