@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Package-registry enrichment — the reference's per-element HTTP GET to
@@ -28,11 +28,57 @@ final class LocalRegistry(snapshot: Map[String, String]) extends RegistryClient 
   override def fetch(name: String): Option[String] = snapshot.get(name)
 }
 
+/** Live HTTP registry client — the production implementation of the
+  * reference's per-package fetch (`NpmPackage.scala:8-11`:
+  * `requests.get("https://registry.npmjs.org/" + name)`, proceed only on
+  * status 200). Built on JDK `java.net.http` (no extra dependency).
+  *
+  * Error contract matches the reference: non-200 → None, and any
+  * transport/encoding failure is caught and skipped (the reference wraps
+  * its parse loop in catch-and-continue) — a flaky registry mirror must
+  * never fail a 100 TB job for one package.
+  *
+  * The client itself is `@transient lazy`: what ships to executors is
+  * only the config strings; each executor (partition) builds one pooled
+  * HTTP client on first use — connection-per-partition, never per-row.
+  * The raw-name URL concat mirrors the reference; npm accepts scoped
+  * names (`@scope/pkg`) with the literal slash.
+  */
+class HttpRegistry(baseUrl: String = "https://registry.npmjs.org",
+                   connectTimeoutMs: Long = 5000,
+                   requestTimeoutMs: Long = 30000) extends RegistryClient {
+
+  @transient private lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+
+  /** One GET; returns (statusCode, body). Overridden in tests to fake
+    * the transport without a network.
+    */
+  protected def send(uri: java.net.URI): (Int, String) = {
+    val req = java.net.http.HttpRequest.newBuilder(uri)
+      .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+      .header("Accept", "application/json")
+      .GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  override def fetch(name: String): Option[String] =
+    try {
+      val (code, body) = send(java.net.URI.create(s"$baseUrl/$name"))
+      if (code == 200) Some(body) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+}
+
 /** Deterministic stand-in for the live HTTP registry (this container has
   * zero egress): synthesizes a registry document per name from a hash of
   * the name, with a fixed fraction of misses for 404 parity
   * (NpmPackage.scala:9-11 only proceeds on statusCode 200).
-  * Swap for an HTTP-backed RegistryClient on a networked cluster.
+  * Swap for [[HttpRegistry]] on a networked cluster.
   */
 final class SyntheticRegistry extends RegistryClient {
   override def fetch(name: String): Option[String] = {
@@ -55,6 +101,20 @@ final class SyntheticRegistry extends RegistryClient {
 }
 
 object Registry {
+
+  /** Config-gated client selection: `graft.registry.mode` = `synthetic`
+    * (default — deterministic, zero egress, what every test and this
+    * container use) or `http` (the live registry;
+    * `graft.registry.url` overrides the endpoint, e.g. an internal
+    * mirror). Keeps the online path one config flip away without making
+    * any test depend on the network.
+    */
+  def clientFromConf(spark: SparkSession): RegistryClient =
+    spark.conf.get("graft.registry.mode", "synthetic") match {
+      case "http" => new HttpRegistry(
+        spark.conf.get("graft.registry.url", "https://registry.npmjs.org"))
+      case _ => new SyntheticRegistry
+    }
 
   /** Schema of a (trimmed) npm registry document: versions →
     * {name, dependencies, devDependencies}. (Reference parse:

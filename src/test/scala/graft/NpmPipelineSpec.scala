@@ -1,9 +1,23 @@
 package graft
 
 import graft.operators.NpmPipeline
-import graft.sources.{LocalRegistry, Registry}
+import graft.sources.{HttpRegistry, LocalRegistry, Registry, SyntheticRegistry}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+
+/** HttpRegistry with the transport faked out — exercises the real URL
+  * construction, status handling, and error contract without a network.
+  * Top-level class so executor serialization ships no spec instance.
+  */
+class FakeHttpRegistry(bodies: Map[String, String])
+    extends HttpRegistry("https://registry.example.test") {
+  override protected def send(uri: java.net.URI): (Int, String) = {
+    assert(uri.toString.startsWith("https://registry.example.test/"))
+    val name = uri.toString.stripPrefix("https://registry.example.test/")
+    if (name == "broken-transport") throw new java.io.IOException("boom")
+    bodies.get(name).map((200, _)).getOrElse((404, """{"error":"Not found"}"""))
+  }
+}
 
 /** Reference-parity check: same input → same (package, version,
   * dependencies, devDependencies) counts as the reference pipeline
@@ -119,6 +133,35 @@ class NpmPipelineSpec extends AnyFunSuite {
       Registry.enrichWithClient(Seq("left-pad", "tiny").toDF("line"), registry))
     assert(streamed.count() === 3L)
     assert(streamed.exceptAll(batch).count() === 0L)
+  }
+
+  test("HttpRegistry: 200 → body, 404 → skip, transport failure → skip (reference NpmPackage.scala:8-22 contract)") {
+    val http = new FakeHttpRegistry(bodies)
+    assert(http.fetch("left-pad") === Some(bodies("left-pad")))
+    assert(http.fetch("missing-pkg") === None)     // non-200 skipped
+    assert(http.fetch("broken-transport") === None) // exception caught
+  }
+
+  test("HttpRegistry drives the full enrichment pipeline (executor-serialized, per-partition client)") {
+    val names = Seq("left-pad", "tiny", "missing-pkg", "broken-transport").toDF("line")
+    val viaHttp = NpmPipeline.dependencyCounts(
+      Registry.enrichWithClient(names, new FakeHttpRegistry(bodies)))
+    val viaLocal = NpmPipeline.dependencyCounts(
+      Registry.enrichWithClient(names, registry))
+    assert(viaHttp.count() === 3L)
+    assert(viaHttp.exceptAll(viaLocal).count() === 0L)
+    assert(viaLocal.exceptAll(viaHttp).count() === 0L)
+  }
+
+  test("clientFromConf gates the live client behind graft.registry.mode") {
+    assert(Registry.clientFromConf(spark).isInstanceOf[SyntheticRegistry])
+    spark.conf.set("graft.registry.mode", "http")
+    spark.conf.set("graft.registry.url", "https://mirror.internal.test")
+    try assert(Registry.clientFromConf(spark).isInstanceOf[HttpRegistry])
+    finally {
+      spark.conf.unset("graft.registry.mode")
+      spark.conf.unset("graft.registry.url")
+    }
   }
 
   test("full reference dataflow on the CUSTOM DSv2 source: gz → throttle → enrich → counts") {
