@@ -87,7 +87,7 @@ object SparkEntry {
     "q57_char_ngram_jaccard" -> ((s, d) => Dedup.charNgramJaccard(s, d)),
     // §2c similarity search
     "q60_knn_brute"          -> ((s, d) => Similarity.knnBrute(s, d)),
-    "q61_knn_ivf"            -> ((s, d) => Similarity.knnLsh(s, d)),
+    "q61_knn_ivf"            -> ((s, d) => Similarity.knnLshIndexed(s, d)),
     "q62_embedding_centroids" -> (Similarity.centroids _),
     "q63_kmeans"             -> ((s, d) => Similarity.kmeans(s, d)),
     // §2c multimodal (declarative metadata path)

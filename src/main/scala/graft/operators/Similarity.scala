@@ -132,12 +132,12 @@ object Similarity {
     }.distinct
   }
 
-  /** IVF/LSH-bucketed ANN: compute buckets once, search only the query's
-    * bucket plus all probe buckets within `probeRadius` bit flips —
-    * the recall/cost dial (radius 1 ≈ 9/256 of the corpus, radius 2 ≈
-    * 37/256). At 100 TB the bucketed table would be written out
-    * partitioned by bucket so a probe set prunes partitions at the
-    * source.
+  /** IVF/LSH-bucketed ANN over an in-flight bucket column: compute
+    * buckets in the scan, search only the query's bucket plus all probe
+    * buckets within `probeRadius` bit flips — the recall/cost dial
+    * (radius 1 ≈ 9/256 of the corpus, radius 2 ≈ 37/256). The whole
+    * corpus is still read; see [[knnLshIndexed]] for the materialized
+    * variant that prunes unread partitions at the source.
     */
   def knnLsh(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
              probeRadius: Int = 1): DataFrame = {
@@ -146,10 +146,61 @@ object Similarity {
     // one-row lookup of the query vector + its bucket (a query parameter,
     // not a data collect)
     val qRow = e.filter(col("vec_id") === queryId).select("embedding", "bucket").head()
-    val qBucket = qRow.getInt(1)
+    scoreProbes(e, qRow.getSeq[Float](0), qRow.getInt(1), queryId, k, probeRadius)
+  }
+
+  /** One materialized bucket index per (input dir) per JVM — the local
+    * analog of the bucketed index table a cluster deployment would
+    * maintain next to the corpus.
+    */
+  private val indexDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Write the embeddings as a parquet table PARTITIONED BY the LSH
+    * bucket. Directory-partitioning (not `bucketBy`) is deliberate: the
+    * probe set is a partition-pruning predicate, so a radius-1 query
+    * READS ~9/256 of the corpus — the file listing drops the other
+    * partitions before any I/O. One narrow write, 256 partitions, no
+    * shuffle beyond the write's own.
+    */
+  def buildBucketedIndex(s: SparkSession, d: String, out: String): Unit = {
+    GraftFunctions.register(s)
+    Tables.embeddings(s, d)
+      .withColumn("bucket", lshBucket(col("embedding")))
+      .write.mode("overwrite").partitionBy("bucket").parquet(out)
+  }
+
+  private def bucketedIndexPath(s: SparkSession, d: String): String =
+    indexDirs.getOrElseUpdate(d, {
+      val t = java.nio.file.Files.createTempDirectory("graft_ann_index_")
+      t.toFile.deleteOnExit()
+      buildBucketedIndex(s, d, t.toString)
+      t.toString
+    })
+
+  /** ANN against the MATERIALIZED bucket index: the probe set becomes a
+    * partition filter on the bucketed table, so non-probe partitions are
+    * pruned at file-listing time and a radius-1 query reads ~9/256 of
+    * the corpus (assert via PartitionFilters in the scan node). Results
+    * are identical to [[knnLsh]] at the same radius.
+    */
+  def knnLshIndexed(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
+                    probeRadius: Int = 1): DataFrame = {
+    GraftFunctions.register(s)
+    val idx = s.read.parquet(bucketedIndexPath(s, d))
+    // query-vector lookup: one row by vec_id (pushed-down point filter)
+    val qRow = idx.filter(col("vec_id") === queryId)
+      .select("embedding", "bucket").head()
+    scoreProbes(idx, qRow.getSeq[Float](0), qRow.getInt(1), queryId, k, probeRadius)
+  }
+
+  /** Shared probe-scoring tail: filter to probe buckets, one codegen'd
+    * dot per surviving row, TakeOrdered top-k.
+    */
+  private def scoreProbes(e: DataFrame, qVec: Seq[Float], qBucket: Int,
+                          queryId: Long, k: Int, probeRadius: Int): DataFrame = {
     val probes = probeSet(qBucket, probeRadius)
-    val qv = array(qRow.getSeq[Float](0).map(f => lit(f.toDouble)): _*)
-    val qn = math.sqrt(qRow.getSeq[Float](0).map(f => f.toDouble * f).sum)
+    val qv = array(qVec.map(f => lit(f.toDouble)): _*)
+    val qn = math.sqrt(qVec.map(f => f.toDouble * f).sum)
     e.filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), round(
         GraftFunctions.dot(col("embedding"), qv) /

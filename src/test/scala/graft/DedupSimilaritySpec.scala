@@ -117,6 +117,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"inertia increased: $inertias")
   }
 
+  test("knnLshIndexed: identical to in-flight knnLsh; probe set prunes PARTITIONS at the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val inflight = Similarity.knnLsh(spark, sf, 0L, 10).collect().toSeq
+    val indexed = Similarity.knnLshIndexed(spark, sf, 0L, 10)
+    assert(indexed.collect().toSeq === inflight)
+
+    // the scan node must carry the probe set as a PartitionFilter and
+    // actually list only the probe partitions (9 of 256 at radius 1)
+    val scans = indexed.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec if f.relation.partitionSchema.fieldNames.contains("bucket") => f
+    }
+    assert(scans.nonEmpty, "no partitioned file scan in the indexed plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.map(_.name).toSeq.contains("bucket")),
+      s"probe set not pushed as a partition filter: ${scan.partitionFilters}")
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected <= 9, s"radius-1 probe should read <= 9 partitions, read $selected")
+  }
+
   test("multi-probe: recall@10 is monotone in probe radius, radius 8 = exhaustive") {
     val brute = Similarity.knnBrute(spark, sf, 0L, 10).collect()
       .map(_.getLong(0)).toSet
