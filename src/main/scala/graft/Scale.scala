@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale-up of a driver testdata dir: replicate every fact
+  * table `factor`× with per-replica key offsets, preserving the driver's
+  * single-file-parquet layout. Produces a measured scale point above the
+  * largest shipped SF (the 100 TB design arguments need at least one
+  * measured multiple).
+  *
+  * Replication is entropy-preserving, not naive:
+  *  - every join/entity key gets `+ replica · 10⁹` so join fan-outs stay
+  *    1:1 (a naive copy would square join outputs on duplicated keys);
+  *  - document text goes through a per-replica bijective letter
+  *    permutation (`translate`), so within-replica near-dup structure —
+  *    word grams AND char grams, token counts, text lengths — is
+  *    preserved exactly while cross-replica similarity collapses (pair
+  *    counts scale linearly, as a real bigger crawl's would; a first cut
+  *    that only PREFIXED tokens left interior char-5-grams shared across
+  *    replicas, which made every doc a char-gram near-dup of its 9
+  *    siblings and measured as a ×100 pair blowup);
+  *  - embeddings are multiplied by a per-replica deterministic ±1
+  *    dimension mask: norms and within-replica cosines are exactly
+  *    preserved, cross-replica cosines collapse to ~0 (a random-sign
+  *    dot), so ANN/dedup structure also scales linearly;
+  *  - `nation`/`region` stay single-copy (dimensions, referenced by
+  *    unoffset nationkeys);
+  *  - `events.ts` stays a raw ns long (read via nanosAsLong), keeping
+  *    the generated dir byte-compatible with `Tables.events`.
+  *
+  * Usage: runMain graft.Scale <srcDir> <outDir> <factor>
+  */
+object Scale {
+
+  private val IdOffset = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: Scale <srcDir> <outDir> <factor>")
+    val Array(src, out, factorStr) = args.take(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val s = GraftSession.local(cpus.toInt)
+    scaleUp(s, src, out, factorStr.toInt)
+    s.stop()
+  }
+
+  def scaleUp(s: SparkSession, src: String, out: String, factor: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val reps = s.range(factor.toLong).select(col("id").cast("int").as("rep"))
+    def replicated(name: String): DataFrame =
+      Tables(s, src, name).crossJoin(reps)
+    def off(c: String): org.apache.spark.sql.Column =
+      col(c) + col("rep") * IdOffset
+
+    // single-copy dimensions
+    copySingle(s, src, out, "nation")
+    copySingle(s, src, out, "region")
+
+    writeSingle(replicated("customer")
+      .withColumn("c_custkey", off("c_custkey")).drop("rep"), s"$out/customer.parquet")
+    writeSingle(replicated("supplier")
+      .withColumn("s_suppkey", off("s_suppkey")).drop("rep"), s"$out/supplier.parquet")
+    writeSingle(replicated("part")
+      .withColumn("p_partkey", off("p_partkey")).drop("rep"), s"$out/part.parquet")
+    writeSingle(replicated("orders")
+      .withColumn("o_orderkey", off("o_orderkey"))
+      .withColumn("o_custkey", off("o_custkey")).drop("rep"), s"$out/orders.parquet")
+    writeSingle(replicated("lineitem")
+      .withColumn("l_orderkey", off("l_orderkey"))
+      .withColumn("l_partkey", off("l_partkey"))
+      .withColumn("l_suppkey", off("l_suppkey")).drop("rep"), s"$out/lineitem.parquet")
+
+    // events: ts arrives (and leaves) as raw ns long
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    writeSingle(replicated("events")
+      .withColumn("event_id", off("event_id"))
+      .withColumn("user_id", off("user_id")).drop("rep"), s"$out/events.parquet")
+
+    // documents: per-replica bijective letter rotation — replica r maps
+    // letter i to letter (i + r·7) mod 26 (7 coprime to 26, so every
+    // replica's map is a distinct bijection). Within-replica structure
+    // is preserved exactly; cross-replica text shares no grams.
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    val rotated = (1 until factor).foldLeft(col("text")) { (acc, r) =>
+      val to = alphabet.indices.map(i => alphabet((i + r * 7) % 26)).mkString
+      when(col("rep") === r, translate(col("text"), alphabet, to)).otherwise(acc)
+    }
+    writeSingle(replicated("documents")
+      .withColumn("doc_id", off("doc_id"))
+      .withColumn("text", rotated)
+      .drop("rep"), s"$out/documents.parquet")
+
+    // embeddings: deterministic per-replica ±1 dimension mask keeps
+    // norms and within-replica cosines, kills cross-replica cosine;
+    // labels offset per replica so blocking-key group sizes stay
+    // constant (a naive shared label grows blocks 10× → pairs 100×).
+    val masked = when(col("rep") === 0, col("embedding")).otherwise(
+      transform(col("embedding"),
+        (x, i) => when(pmod(hash(col("rep"), i), lit(2)) === 0, x).otherwise(-x)))
+    writeSingle(replicated("embeddings")
+      .withColumn("vec_id", off("vec_id"))
+      .withColumn("embedding", masked.cast("array<float>"))
+      .withColumn("label", (col("label") + col("rep") * 1000).cast("int"))
+      .drop("rep"), s"$out/embeddings.parquet")
+  }
+
+  private def copySingle(s: SparkSession, src: String, out: String, name: String): Unit =
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$src/$name.parquet"),
+      java.nio.file.Paths.get(s"$out/$name.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+
+  /** Write as ONE parquet FILE (the driver testdata layout Tables
+    * expects): stage a coalesced dir, move the part file, drop the dir.
+    */
+  private def writeSingle(df: DataFrame, outFile: String): Unit = {
+    val tmp = outFile + ".staging"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val dir = java.nio.file.Paths.get(tmp)
+    val part = java.nio.file.Files.list(dir).filter(_.getFileName.toString.startsWith("part-"))
+      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(outFile),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // remove the staging dir (success marker + crc files)
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+}

@@ -67,8 +67,12 @@ object Relational {
         round(sum(col("o_totalprice")), 4).as("total"))
       .orderBy("c_mktsegment")
 
-  /** TPC-H Q5-shaped 5-table star join: all dims broadcast, the lineitem
-    * fact shuffles exactly once (for its groupBy), never for the joins.
+  /** TPC-H Q5-shaped 5-table star join: true dimensions broadcast; the
+    * lineitem ⋈ orders leg is fact-to-fact, so NO hint there — orders is
+    * corpus-sized and a forced broadcast is an executor OOM at 100 TB
+    * (AQE still broadcasts it at test SFs where it measures in MBs; at
+    * scale it becomes a shuffle join on l_orderkey, the co-location key
+    * a bucketed layout would pre-partition — Layouts.bucketize).
     */
   def multiJoin(s: SparkSession, d: String): DataFrame = {
     val dims = broadcast(
@@ -77,7 +81,7 @@ object Relational {
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA"))
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.orders(s, d).select("o_orderkey", "o_custkey")),
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .join(dims, col("o_custkey") === col("c_custkey"))
       .groupBy(col("n_name"))

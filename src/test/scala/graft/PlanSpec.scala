@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.{Dedup, Pipeline, Relational}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guards for the scale contract: corpus-derived join sides
+  * must carry NO forced broadcast hint (a driver/executor OOM at 100 TB
+  * on duplicate-heavy or contaminated crawls), while AQE remains free to
+  * broadcast them at test SFs where they measure in MBs — these specs
+  * pin both halves so a regression in either direction fails.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SharedSpark.{spark, sf}
+
+  private def broadcastHints(df: DataFrame): Int =
+    df.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.isDefined => h
+    }.size
+
+  test("no broadcast() hint on any corpus-derived side (dedup family, star-join fact leg)") {
+    assert(broadcastHints(Dedup.dedupedDocuments(spark, sf)) === 0)
+    assert(broadcastHints(Dedup.minhashLsh(spark, sf)) === 0)
+    assert(broadcastHints(Dedup.ngramJaccard(spark, sf)) === 0)
+    assert(broadcastHints(Dedup.minhashApprox(spark, sf)) === 0)
+    // trainingCorpus embeds decontamination, whose BENCHMARK shingle set
+    // is the one provably-bounded side allowed to keep its hint
+    assert(broadcastHints(Pipeline.trainingCorpus(spark, sf)) === 1)
+    // q04's lineitem ⋈ orders leg is fact-to-fact: only the dim subtree
+    // (customer ⋈ nation ⋈ region) may be hinted, never orders
+    val q04Hints = Relational.multiJoin(spark, sf).queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.isDefined => h
+    }
+    assert(q04Hints.nonEmpty)
+    assert(!q04Hints.exists(_.child.toString.contains("o_orderkey")),
+      "orders (a fact table) must not carry a broadcast hint")
+  }
+
+  test("AQE still broadcasts the de-hinted anti-joins at test SF") {
+    val df = Pipeline.trainingCorpus(spark, sf)
+    df.count() // drive AQE to final physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected AQE-chosen broadcast anti-joins at test SF")
+  }
+}
