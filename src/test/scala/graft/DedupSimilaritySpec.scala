@@ -51,6 +51,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b, h) => a < b && h <= 6L })
   }
 
+  test("ngramJaccard df-cap: exact on an adversarial hot-shingle corpus; all-hot pairs are the exact-dup path's job") {
+    import spark.implicits._
+    // every doc shares the same hot phrase (its shingles reach df ≈ 40,
+    // far above the cap of 8 — the "in the of" detonation shape); docs
+    // 100/101 are planted near-dups whose OVERLAP INCLUDES the hot
+    // shingles, so the reported jaccard is only exact if the hot
+    // contribution is added back; docs 200/201 share ONLY hot shingles.
+    val hot = "the quick brown fox jumps over lazy dogs"
+    val docs =
+      (0 until 40).map(i => (i.toLong,
+        s"$hot u$i v$i w$i x$i y$i z$i p$i q$i r$i s$i")) ++
+      Seq(
+        (100L, s"$hot shared rare payload alpha beta gamma delta epsilon zeta"),
+        (101L, s"$hot shared rare payload alpha beta gamma delta epsilon eta"),
+        (200L, hot), (201L, hot))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dfcap_").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // brute-force oracle computed in-process on full shingle sets
+    def sh(t: String): Set[Seq[String]] =
+      t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3).map(_.toSeq).toSet
+    val byId = docs.toMap
+    val brute = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      inter = (sh(ta) intersect sh(tb)).size
+      j = BigDecimal(inter.toDouble / (sh(ta).size + sh(tb).size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.5
+    } yield (a, b, j)).toSet
+
+    val got = Dedup.ngramJaccard(spark, dir, tau = 0.5, dfCap = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the planted pair must carry the EXACT jaccard (hot ∩ added back)
+    assert(got.exists { case (a, b, _) => a == 100L && b == 101L })
+    val plantedJ = brute.collectFirst { case (100L, 101L, j) => j }.get
+    assert(got.collectFirst { case (100L, 101L, j) => j }.get === plantedJ)
+    // capped output = brute force MINUS pairs whose shared shingles are
+    // ALL above the cap — here exactly the identical pair (200, 201)
+    assert(brute -- got === Set((200L, 201L, 1.0)))
+    // ...and that pair is the exact-dup operator's catch by construction
+    val exactGroups = Dedup.exact(spark, dir)
+      .filter(col("n_dups") > 1).collect()
+    assert(exactGroups.exists(r => r.getLong(1) == 200L && r.getLong(2) == 2L))
+  }
+
   test("embeddingCosine only pairs within the same label block") {
     val pairs = Dedup.embeddingCosine(spark, sf, tau = 0.3)
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
