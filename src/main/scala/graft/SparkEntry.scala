@@ -58,6 +58,7 @@ object SparkEntry {
     "q34_stream_stateful"    -> (StreamOps.statefulCounts _),
     "q35_stream_static_join" -> (StreamOps.streamStaticJoin _),
     "q37_stream_flatmap_sessions" -> (StreamOps.statefulSessions _),
+    "q38_stream_neardup_suppress" -> ((s, d) => StreamOps.nearDupSuppress(s, d)),
     "q36_stream_stream_join" -> (StreamOps.streamStreamJoin _),
     // §2c text analysis
     "q40_lang_id"            -> (TextAnalysis.langId _),

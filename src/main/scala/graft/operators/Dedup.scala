@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.plans.GraftFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication family (SURVEY.md §2c): exact, n-gram Jaccard,
@@ -105,9 +105,16 @@ object Dedup {
     * consumer (sizes, signatures, verification) reuses, the query-local
     * analog of a materialized shingle table at 100 TB.
     */
-  private def explodedShingles(s: SparkSession, d: String): DataFrame = {
+  private def explodedShingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(Tables.documents(s, d))
+
+  /** The same codegen shingling for ANY (doc_id, text) DataFrame —
+    * shared with the streaming near-dup suppressor, which runs it per
+    * micro-batch.
+    */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = Tables.documents(s, d)
+    val tok = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
       .filter(length(col("t")) > 0)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -174,8 +181,31 @@ object Dedup {
       .select("a", "b", "jaccard")
       .orderBy("a", "b")
 
-  private val MinhashPerms = 64
-  private val Bands = 16 // 16 bands × 4 rows
+  private[graft] val MinhashPerms = 64
+  private[graft] val Bands = 16 // 16 bands × 4 rows
+
+  /** One 64-minhash signature row per doc from a hashed shingle table —
+    * map-side partial mins, the shuffle carries 64 longs per doc.
+    */
+  private[graft] def signaturesOf(ex: DataFrame): DataFrame = {
+    val minAggs = (0 until MinhashPerms).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** (doc_id, band, bkey) LSH band keys of a signature table. */
+  private[graft] def bandsOf(sig: DataFrame): DataFrame = {
+    val rowsPerBand = MinhashPerms / Bands
+    val bandKeys = (0 until Bands).map(j =>
+      xxhash64(lit(j) +: (0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}")): _*))
+    sig.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+  }
+
+  /** Signature-agreement count between two aliased signature sides. */
+  private[graft] def agreement(aAlias: String, bAlias: String): Column =
+    (0 until MinhashPerms)
+      .map(i => when(col(s"$aAlias.m$i") === col(s"$bAlias.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
 
   // Permutation i of a shingle's 64-bit base hash h is xxhash64(i, h):
   // one string hash per shingle, then 64 cheap fixed-width long hashes —
@@ -200,9 +230,7 @@ object Dedup {
     */
   def minhashApprox(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
     val (_, sig, candRaw) = lshCandidates(explodedShingles(s, d))
-    val agree = (0 until MinhashPerms)
-      .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
-      .reduce(_ + _)
+    val agree = agreement("sa", "sb")
     candRaw
       .join(sig.as("sa"), col("a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("b") === col("sb.doc_id"))
@@ -221,18 +249,10 @@ object Dedup {
     // query-local analog of the materialized shingle table a 100 TB
     // deployment would keep as a real table.
     val ex = exIn.localCheckpoint(true)
-    val minAggs = (0 until MinhashPerms).map(i =>
-      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
     // One row per doc, 64 longs — tiny; materialized because it feeds
     // four plan branches (two band sides, two agreement-join sides).
-    val sig = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-      .localCheckpoint(true)
-    val rowsPerBand = MinhashPerms / Bands
-    val bandKeys = (0 until Bands).map(j =>
-      xxhash64(lit(j) +: (0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}")): _*))
-    val bands = sig.select(
-      col("doc_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val sig = signaturesOf(ex).localCheckpoint(true)
+    val bands = bandsOf(sig)
     val candRaw = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -259,9 +279,7 @@ object Dedup {
     // the expensive shingle-level join — the verification cost driver at
     // 100 TB. The sig join is corpus-sized → auto-broadcast at small SF,
     // shuffle join at scale (no explicit broadcast hint).
-    val agree = (0 until MinhashPerms)
-      .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
-      .reduce(_ + _)
+    val agree = agreement("sa", "sb")
     val minAgree = math.max(0, math.ceil((tau - 0.25) * MinhashPerms).toInt)
     val cand = candRaw
       .join(sig.as("sa"), col("a") === col("sa.doc_id"))

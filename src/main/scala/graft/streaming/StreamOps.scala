@@ -24,21 +24,29 @@ object StreamOps {
 
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$d/events.parquet"
-    // The file-stream source requires a directory; stage the (read-only)
-    // input file into a temp dir. On a cluster the source would already
-    // be a directory of arriving files.
-    val dir = stagedDirs.getOrElseUpdate(path, {
-      val t = java.nio.file.Files.createTempDirectory("graft_stream_")
-      t.toFile.deleteOnExit()
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-        t.resolve("events.parquet"))
-      t.toString
-    })
-    val schema = s.read.parquet(path).schema // ts arrives as long (ns)
-    graft.Tables.withEventTs(
-      s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(dir))
+    graft.Tables.withEventTs(tableStream(s, d, "events"))
+  }
+
+  /** File-stream over a staged copy of `<d>/<table>.parquet`. The
+    * file-stream source requires a directory; stage the (read-only)
+    * input file into a temp dir once per JVM. On a cluster the source
+    * would already be a directory of arriving files.
+    */
+  private def tableStream(s: SparkSession, d: String, table: String): DataFrame = {
+    val path = s"$d/$table.parquet"
+    // a directory (e.g. a multi-file feed in tests, or a real arrival
+    // dir on a cluster) streams as-is; a single file gets staged
+    val dir =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path))) path
+      else stagedDirs.getOrElseUpdate(path, {
+        val t = java.nio.file.Files.createTempDirectory("graft_stream_")
+        t.toFile.deleteOnExit()
+        java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+          t.resolve(s"$table.parquet"))
+        t.toString
+      })
+    val schema = s.read.parquet(path).schema
+    s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
   }
 
   private def runToMemory(df: DataFrame, mode: String): String = {
@@ -246,5 +254,87 @@ object StreamOps {
     // is the final total
     s.table(name).groupBy(col("user_id")).agg(max(col("n")).as("n"))
       .orderBy("user_id")
+  }
+
+  /** INCREMENTAL near-duplicate suppression — streaming admission of a
+    * document feed where every arriving doc is kept only if it is not a
+    * near-dup (minhash-estimate jaccard ≥ τ, the q58 semantics) of any
+    * previously kept doc.
+    *
+    * The 100 TB shape: per micro-batch, signatures run the batch
+    * codegen path (explode → window shingles → 64 map-side min-aggs);
+    * the suppression state is NOT executor memory but a persistent
+    * signature TABLE (64 longs per kept doc — ~0.5 KB; 10⁹ docs ≈
+    * 0.5 TB, a partitioned parquet table), probed per batch with the
+    * same banded-LSH candidate join the batch dedup family uses, so
+    * per-batch cost is banding-bounded against state size. foreachBatch
+    * is the documented Spark idiom for exactly this merge-into-state
+    * pattern.
+    *
+    * Batch-internal near-dups are resolved first (band candidates →
+    * agreement ≥ ⌈τ·64⌉ → min-label clusters, keep-min), then survivors
+    * are checked against the seen table. Returns kept (doc_id, sig8)
+    * where sig8 is a 64-bit digest of the signature for display.
+    */
+  def nearDupSuppress(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    val minAgree = math.ceil(tau * Dedup.MinhashPerms).toInt
+    val work = java.nio.file.Files.createTempDirectory("graft_neardup_")
+    work.toFile.deleteOnExit()
+    val sigDir = work.resolve("seen_sigs").toString
+    val outDir = work.resolve("kept").toString
+    // seed the state table empty with the signature schema
+    val sigCols = (0 until Dedup.MinhashPerms).map(i => lit(0L).as(s"m$i"))
+    s.range(0).select(col("id").as("doc_id") +: sigCols: _*)
+      .write.mode("overwrite").parquet(sigDir)
+
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      tableStream(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val sb = batch.sparkSession
+          val sig = Dedup.signaturesOf(Dedup.shinglesOf(batch)).localCheckpoint(true)
+          val bands = Dedup.bandsOf(sig)
+          // batch-internal near-dup clusters, keep-min
+          val candIn = bands.as("a").join(bands.as("b"),
+              col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+            .dropDuplicates("a", "b")
+          val pairsIn = candIn
+            .join(sig.as("sa"), col("a") === col("sa.doc_id"))
+            .join(sig.as("sb"), col("b") === col("sb.doc_id"))
+            .filter(Dedup.agreement("sa", "sb") >= minAgree)
+            .select(col("a"), col("b"))
+          val losers = Dedup.resolveClusters(pairsIn)
+            .filter(col("rep") =!= col("doc_id")).select(col("doc_id"))
+          val survivors = sig.join(losers, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+          // cross-batch: banded probe of the persistent seen-signature table
+          val seen = sb.read.parquet(sigDir)
+          val candX = Dedup.bandsOf(survivors).as("n").join(Dedup.bandsOf(seen).as("o"),
+              col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey"))
+            .select(col("n.doc_id").as("a"), col("o.doc_id").as("b"))
+            .dropDuplicates("a", "b")
+          val suppressed = candX
+            .join(survivors.as("sa"), col("a") === col("sa.doc_id"))
+            .join(seen.as("sb"), col("b") === col("sb.doc_id"))
+            .filter(Dedup.agreement("sa", "sb") >= minAgree)
+            .select(col("a").as("doc_id")).distinct()
+          val kept = survivors.join(suppressed, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+          kept.write.mode("append").parquet(sigDir)
+          kept.select(col("doc_id"),
+              xxhash64((0 until Dedup.MinhashPerms).map(i => col(s"m$i")): _*).as("sig8"))
+            .write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(outDir).orderBy("doc_id")
   }
 }

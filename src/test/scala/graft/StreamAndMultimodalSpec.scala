@@ -47,4 +47,57 @@ class StreamAndMultimodalSpec extends AnyFunSuite {
     assert(counts.filter(col("n") > 4).count() === 0L)
     assert(frames.count() > 0L)
   }
+
+  test("streaming near-dup suppression: batch-internal AND cross-batch dups dropped, uniques kept") {
+    import spark.implicits._
+    // documents.parquet as a DIRECTORY of two files = two micro-batches
+    val root = java.nio.file.Files.createTempDirectory("graft_neardup_spec_")
+    val docsDir = root.resolve("documents.parquet")
+    java.nio.file.Files.createDirectories(docsDir)
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val batch0 = Seq(
+      (1L, base),                                   // kept (first)
+      (2L, base.replace("tango", "uniform")),       // in-batch near-dup of 1
+      (3L, "totally different content words " +
+        "one two three four five six seven eight nine ten eleven twelve"))
+    val batch1 = Seq(
+      (10L, base.replace("alpha", "zulu")),         // cross-batch near-dup of 1
+      (11L, "another unrelated document body with its own vocabulary " +
+        "red orange yellow green blue indigo violet umber ochre teal"))
+    batch0.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(docsDir.resolve("b0").toString)
+    batch1.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(docsDir.resolve("b1").toString)
+    // two dirs of one part-file each; order batches by mtime
+    val f0 = java.nio.file.Files.list(docsDir.resolve("b0"))
+      .filter(_.getFileName.toString.startsWith("part-")).findFirst().get()
+    val f1 = java.nio.file.Files.list(docsDir.resolve("b1"))
+      .filter(_.getFileName.toString.startsWith("part-")).findFirst().get()
+    java.nio.file.Files.move(f0, docsDir.resolve("000.parquet"))
+    java.nio.file.Files.move(f1, docsDir.resolve("001.parquet"))
+    Seq("b0", "b1").foreach { b =>
+      java.nio.file.Files.walk(docsDir.resolve(b))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    docsDir.resolve("000.parquet").toFile.setLastModified(1000000L)
+    docsDir.resolve("001.parquet").toFile.setLastModified(2000000L)
+
+    val kept = StreamOps.nearDupSuppress(spark, root.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 11L))
+  }
+
+  test("streaming near-dup suppression equals the batch estimate-dedup on a single batch") {
+    val streamed = StreamOps.nearDupSuppress(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val losers = graft.operators.Dedup.resolveClusters(
+        graft.operators.Dedup.minhashApprox(spark, sf, 0.5))
+      .filter(col("rep") =!= col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val all = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed === all -- losers)
+  }
 }
