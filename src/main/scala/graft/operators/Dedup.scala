@@ -193,6 +193,27 @@ object Dedup {
     ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
   }
 
+  /** The SHUFFLE-FREE signature path: one row-local pass per document
+    * through the codegen'd [[graft.plans.MinhashSignature]] expression —
+    * bit-identical to [[signaturesOf]]∘[[shinglesOf]] (asserted in spec)
+    * but with zero exchanges: no explode, no per-doc window sort, no
+    * distinct, no 64-agg shuffle. The signature stage of any minhash
+    * operator becomes a projection on the scan, which is what a 100 TB
+    * corpus pass (or a streaming admission path) wants.
+    */
+  private[graft] def signaturesRowLevel(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    // drop < 3-token docs (no shingles — parity with the groupBy path)
+    // via a CHEAP predicate: a `sig.isNotNull` filter would be pushed
+    // below the projection as isnotnull(graft_minhash(text)) and
+    // recompute the whole signature once more per row in the scan.
+    docs
+      .filter(size(split(trim(col("text")), " +")) >= 3)
+      .select(col("doc_id"), GraftFunctions.minhash(col("text")).as("sig"))
+      .select(col("doc_id") +:
+        (0 until MinhashPerms).map(i => col("sig").getItem(i).as(s"m$i")): _*)
+  }
+
   /** (doc_id, band, bkey) LSH band keys of a signature table. */
   private[graft] def bandsOf(sig: DataFrame): DataFrame = {
     val rowsPerBand = MinhashPerms / Bands
@@ -229,7 +250,16 @@ object Dedup {
     * tolerates estimate noise around τ; `minhashLsh` is the exact twin.
     */
   def minhashApprox(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
-    val (_, sig, candRaw) = lshCandidates(explodedShingles(s, d))
+    // estimate-only → no shingle table is ever needed: signatures come
+    // from the row-local codegen expression (zero exchanges before the
+    // band join — the whole operator is scan → project → 1 pair shuffle)
+    val sig = signaturesRowLevel(Tables.documents(s, d)).localCheckpoint(true)
+    val bands = bandsOf(sig)
+    val candRaw = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .dropDuplicates("a", "b")
     val agree = agreement("sa", "sb")
     candRaw
       .join(sig.as("sa"), col("a") === col("sa.doc_id"))

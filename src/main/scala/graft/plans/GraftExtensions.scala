@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions.call_function
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotDescriptor)
+    ext.injectFunction(GraftFunctions.minhashDescriptor)
   }
 }
 
@@ -25,16 +26,30 @@ object GraftFunctions {
     (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
       ArrayDotProduct(exprs(0), exprs(1)))
 
+  private[plans] val minhashDescriptor = (
+    new FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
+    (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      MinhashSignature(exprs.head))
+
   /** Idempotent per-session registration. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     if (!spark.sessionState.functionRegistry.functionExists(dotDescriptor._1)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_dot", dotDescriptor._3, "built-in")
     }
+    if (!spark.sessionState.functionRegistry.functionExists(minhashDescriptor._1)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_minhash", minhashDescriptor._3, "built-in")
+    }
+  }
 
   /** Codegen'd dot product (see [[ArrayDotProduct]]); requires register(). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** L2 norm via the codegen'd dot. */
   def norm(v: Column): Column = org.apache.spark.sql.functions.sqrt(dot(v, v))
+
+  /** Row-local 64-perm minhash signature (see [[MinhashSignature]]). */
+  def minhash(text: Column): Column = call_function("graft_minhash", text)
 }

@@ -296,7 +296,9 @@ object StreamOps {
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           val sb = batch.sparkSession
-          val sig = Dedup.signaturesOf(Dedup.shinglesOf(batch)).localCheckpoint(true)
+          // row-local codegen signatures: the per-batch signature stage
+          // is a stateless projection, no exchanges
+          val sig = Dedup.signaturesRowLevel(batch).localCheckpoint(true)
           val bands = Dedup.bandsOf(sig)
           // batch-internal near-dup clusters, keep-min
           val candIn = bands.as("a").join(bands.as("b"),

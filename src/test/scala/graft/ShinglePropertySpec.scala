@@ -29,4 +29,28 @@ class ShinglePropertySpec extends AnyFunSuite {
       assert(got(id) === referenceShingles(text, 3), s"doc $id: '$text'")
     }
   }
+
+  test("MinhashSignature expression ≡ the shuffle pipeline, bit for bit (corpus + edge cases)") {
+    import graft.operators.Dedup
+    val corpus = Tables.documents(spark, SharedSpark.sf).select("doc_id", "text")
+    val viaShuffle = Dedup.signaturesOf(Dedup.shinglesOf(corpus))
+    val viaExpr = Dedup.signaturesRowLevel(corpus)
+    assert(viaShuffle.count() === viaExpr.count())
+    assert(viaShuffle.exceptAll(viaExpr).count() === 0L)
+    assert(viaExpr.exceptAll(viaShuffle).count() === 0L)
+
+    // edge cases: repeated runs of spaces, duplicate shingles, < 3 tokens
+    val edge = Seq(
+      (1L, "a  b   a b a b a b"),     // multi-space + heavy shingle dups
+      (2L, "x y"),                    // too short → no signature row
+      (3L, "  lead trail  pad  "),    // 3 tokens after empty-filtering
+      (4L, ("tok " * 200).trim))      // one repeated token, long doc
+      .toDF("doc_id", "text")
+    val eShuffle = Dedup.signaturesOf(Dedup.shinglesOf(edge))
+    val eExpr = Dedup.signaturesRowLevel(edge)
+    assert(eShuffle.count() === 3L) // doc 2 dropped on both paths
+    assert(eExpr.count() === 3L)
+    assert(eShuffle.exceptAll(eExpr).count() === 0L)
+    assert(eExpr.exceptAll(eShuffle).count() === 0L)
+  }
 }
