@@ -42,6 +42,8 @@ object SparkEntry {
     "q15_percentiles"        -> (Relational.percentiles _),
     "q16_stats"              -> (Relational.statsAgg _),
     "q17_moving_avg"         -> (Relational.movingAvg _),
+    "q17b_range_window"      -> (Relational.rangeWindow _),
+    "q65_approx_distinct"    -> ((s, d) => Relational.approxDistinct(s, d)),
     "q18_asof_join"          -> (Relational.asofJoin _),
     "q19_range_join"         -> (Relational.rangeJoin _),
     // §2a reference-derived
@@ -216,6 +218,16 @@ object SparkEntry {
         | round((n*sqp - sq*sp)/(sqrt(n*sqq - sq*sq)*sqrt(n*spp - sp*sp)), 4) + 0.0 AS corr_qp,
         | round((sdt - sd*st/n)/(n-1)/100000000.0, 4) + 0.0 AS cov_dt
         |FROM m ORDER BY 1""".stripMargin,
+    "q17b_range_window" ->
+      """SELECT d, round(rev,4) AS revenue,
+        | round(CAST(sum(qrev) OVER w AS DOUBLE) / count(*) OVER w) / 10000.0 AS trail7
+        |FROM (SELECT CAST(l_shipdate AS DATE) AS d,
+        |       sum(l_extendedprice*(1-l_discount)) AS rev,
+        |       CAST(round(sum(l_extendedprice*(1-l_discount)) * 10000) AS BIGINT) AS qrev
+        |      FROM lineitem GROUP BY 1) t
+        |WINDOW w AS (ORDER BY date_diff('day', DATE '1970-01-01', d)
+        |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY d""".stripMargin,
     "q17_moving_avg" ->
       """SELECT d, round(rev,4) AS revenue,
         | round(avg(rev) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),4) AS ma7

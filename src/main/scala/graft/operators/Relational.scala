@@ -317,6 +317,51 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Value-based RANGE window: 7-DAY trailing average over daily revenue,
+    * framed on the DATE VALUE (epoch days), not on row positions — the
+    * correct trailing-interval semantics when days can be missing (a
+    * rows(-6, 0) frame silently stretches across gaps; a RANGE frame
+    * covers exactly the last 7 calendar days). Same tiny post-agg window
+    * shape as q17.
+    */
+  def rangeWindow(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .withColumn("ed", unix_date(col("d")))
+      // 1e-4-grid quantization so the windowed mean sums BIGINTs exactly
+      // (a double avg's accumulation order diverges across engines in
+      // the 4th rounded decimal — the q16 lesson applied to windows)
+      .withColumn("qrev", round(col("rev") * 10000).cast("long"))
+    val w = Window.orderBy(col("ed")).rangeBetween(-6, Window.currentRow)
+    // round at INTEGER scale (quantized-sum / count), then shift the
+    // decimal: a 4dp round of the double quotient lands on shortest-
+    // decimal-representation boundaries differently per engine, while
+    // the quotient is ≥ 1/(2·count) ≈ 2e-4 away from any half-integer
+    // (or exactly on it, where both engines round up) — so the integer
+    // round is engine-exact.
+    daily
+      .select(col("d"), round(col("rev"), 4).as("revenue"),
+        (round(sum(col("qrev")).over(w) / count(lit(1)).over(w)) / 10000.0)
+          .as("trail7"))
+      .orderBy("d")
+  }
+
+  /** Approximate distinct counting — the 100 TB path for cardinality:
+    * HyperLogLog++ sketches aggregate map-side into a fixed-size buffer
+    * (vs countDistinct's expand + exact shuffle of every distinct value).
+    * Relative error defaults to ~2.3 % (rsd 0.023); the spec pins the
+    * observed error against the exact counts. Sketch values are
+    * engine-specific → rows-only for the driver oracle.
+    */
+  def approxDistinct(s: SparkSession, d: String, rsd: Double = 0.023): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        approx_count_distinct(col("o_custkey"), rsd).as("approx_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
   /** Time-series: daily revenue with a 7-row moving average. The single
     * unpartitioned window is fine for ~2.5k daily rows even at 100 TB
     * (the daily aggregate is tiny); the heavy lifting is the grouped agg.

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Relational
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class RelationalSpec extends AnyFunSuite {
@@ -69,5 +70,34 @@ class RelationalSpec extends AnyFunSuite {
     assert(sorts <= 2, s"expected <=2 sorts, got $sorts")
     val qs = df.select("quartile").distinct().collect().map(_.getLong(0)).sorted
     assert(qs.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("rangeWindow frames on DATE VALUES: trailing mean covers exactly the last 7 calendar days") {
+    val rows = Relational.rangeWindow(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getDouble(1), r.getDouble(2)))
+    // reference: for each day, mean of revenues with day-distance <= 6 —
+    // value-based, so a gap in the calendar shrinks the set (a rows
+    // frame would stretch past it)
+    rows.foreach { case (day, _, trail7) =>
+      val window = rows.filter { case (d2, _, _) => d2 <= day && d2 >= day - 6 }
+      val expect = BigDecimal(window.map(_._2).sum / window.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(trail7 - expect) <= 2e-4, s"day $day: $trail7 vs $expect")
+    }
+  }
+
+  test("approxDistinct: HLL counts within the configured rsd of exact, schema stable") {
+    val got = Relational.approxDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = got(k).toDouble
+      // 0.023 rsd → allow 4 sigma ≈ 10 %
+      assert(math.abs(a - n) <= math.max(2.0, 0.10 * n), s"$k: approx $a vs exact $n")
+    }
   }
 }
