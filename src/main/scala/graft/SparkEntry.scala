@@ -91,6 +91,11 @@ object SparkEntry {
     // §2c similarity search
     "q60_knn_brute"          -> ((s, d) => Similarity.knnBrute(s, d)),
     "q61_knn_ivf"            -> ((s, d) => Similarity.knnLshIndexed(s, d)),
+    // full probe fan-out (radius 8 = all buckets) ≡ exhaustive search:
+    // the oracle-checked correctness bridge for the whole IVF code path
+    // (bucketing, probe-set expansion, probe scoring)
+    "q61b_knn_ivf_full"      -> ((s, d) => Similarity.knnLshIndexed(s, d, probeRadius = 8)
+                                    .select("vec_id", "sim")),
     "q62_embedding_centroids" -> (Similarity.centroids _),
     "q63_kmeans"             -> ((s, d) => Similarity.kmeans(s, d)),
     // §2c multimodal (declarative metadata path)
@@ -629,6 +634,12 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(a.embedding, b.embedding),4) >= 0.4
         |ORDER BY 1,2""".stripMargin,
     "q60_knn_brute" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(list_cosine_similarity(embedding, qv),4) AS sim
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    // radius-8 probe set covers all 2^8 buckets → identical to exhaustive
+    "q61b_knn_ivf_full" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(list_cosine_similarity(embedding, qv),4) AS sim
         |FROM embeddings, q WHERE vec_id <> 0

@@ -241,7 +241,12 @@ object Dedup {
     * recall (~1.0 at j≈0.98 with 16×4 banding).
     */
   def minhashLsh(s: SparkSession, d: String, tau: Double = 0.5): DataFrame =
-    minhashLshPairs(explodedShingles(s, d), tau)
+    // word-gram path: signatures come from the row-local codegen
+    // expression (bit-identical to the shingle-table aggregation,
+    // spec-asserted) — the 64-min-agg shuffle disappears and the shingle
+    // table is only materialized for exact verification.
+    minhashLshPairs(explodedShingles(s, d), tau,
+      Some(signaturesRowLevel(Tables.documents(s, d))))
 
   /** The 100 TB fast path: near-dup pairs scored by the minhash ESTIMATE
     * alone (matching-minhash fraction, σ ≤ 0.063) — no shingle-level
@@ -273,7 +278,8 @@ object Dedup {
   /** Shared LSH front-end: materialized shingles, materialized minhash
     * signatures, and the band-bucket candidate pair set (a, b).
     */
-  private def lshCandidates(exIn: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private def lshCandidates(exIn: DataFrame,
+                            sigOpt: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
     // The shingle table feeds several consumers (sizes, signatures, both
     // sides of exact verification). Materialize it once — the
     // query-local analog of the materialized shingle table a 100 TB
@@ -281,7 +287,9 @@ object Dedup {
     val ex = exIn.localCheckpoint(true)
     // One row per doc, 64 longs — tiny; materialized because it feeds
     // four plan branches (two band sides, two agreement-join sides).
-    val sig = signaturesOf(ex).localCheckpoint(true)
+    // Callers whose features are word 3-grams supply the shuffle-free
+    // row-level signature instead of the shingle-table aggregation.
+    val sig = sigOpt.getOrElse(signaturesOf(ex)).localCheckpoint(true)
     val bands = bandsOf(sig)
     val candRaw = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -297,8 +305,9 @@ object Dedup {
     * all-pairs shingle join (char grams on a shared vocabulary made that
     * explode: 133 s vs ~3 s at sf0.1).
     */
-  private def minhashLshPairs(exIn: DataFrame, tau: Double): DataFrame = {
-    val (ex, sig, candRaw) = lshCandidates(exIn)
+  private def minhashLshPairs(exIn: DataFrame, tau: Double,
+                              sigOpt: Option[DataFrame] = None): DataFrame = {
+    val (ex, sig, candRaw) = lshCandidates(exIn, sigOpt)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // Signature-agreement pre-filter: the matching-minhash count is an
     // unbiased Jaccard estimate (σ = √(j(1-j)/64) ≤ 0.063), so requiring
