@@ -53,6 +53,9 @@ object SparkEntry {
     "q23_accumulate_nested"  -> (EventOps.accumulateNested _),
     "q24_funnel"             -> (EventOps.funnel _),
     "q30_stream_windowed_counts" -> (StreamOps.windowedCounts _),
+    // same aggregation paced through 8 micro-batches: event-time results
+    // are invariant to micro-batch boundaries (same oracle as q30)
+    "q30b_stream_paced"      -> ((s, d) => StreamOps.windowedCountsPaced(s, d)),
     "q31_stream_dedup"       -> (StreamOps.streamDedup _),
     "q31b_stream_dedup_watermark" -> (StreamOps.streamDedupWatermarked _),
     "q32_stream_session_window" -> (StreamOps.sessionWindows _),
@@ -288,6 +291,9 @@ object SparkEntry {
         | count(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_converted
         |FROM f""".stripMargin,
     "q30_stream_windowed_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q30b_stream_paced" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q31_stream_dedup" ->

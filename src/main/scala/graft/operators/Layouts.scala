@@ -28,6 +28,32 @@ object Layouts {
                        key: String): DataFrame =
     s.table(leftTable).join(s.table(rightTable), key)
 
+  /** Write `df` partitioned by the MONTH of `tsCol` (derived `p_month`
+    * directory key). Time is the universal pruning axis of a 100 TB
+    * event/fact store: almost every query carries a time-range predicate,
+    * and month directories turn that predicate into a file-listing prune
+    * instead of a full scan. Spark does not rewrite a timestamp range
+    * into a partition predicate by itself — use [[readTimeRange]], which
+    * derives the matching `p_month` bounds alongside the exact trim.
+    */
+  def writeTimePartitioned(df: DataFrame, dir: String, tsCol: String): Unit =
+    df.withColumn("p_month", date_format(col(tsCol), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("p_month").parquet(dir)
+
+  /** Read `[from, to)` from a [[writeTimePartitioned]] layout: the
+    * `p_month` range prunes partitions at listing time (yyyy-MM sorts
+    * lexicographically), the `tsCol` range trims exactly within the edge
+    * months. Result ≡ filtering the unpartitioned table.
+    */
+  def readTimeRange(s: SparkSession, dir: String, tsCol: String,
+                    from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame = {
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM")
+    s.read.parquet(dir)
+      .filter(col("p_month") >= fmt.format(from) && col("p_month") <= fmt.format(to))
+      .filter(col(tsCol) >= lit(from) && col(tsCol) < lit(to))
+      .drop("p_month")
+  }
+
   /** Small-file compaction: rewrite a parquet directory into files of
     * ~`targetBytes` each (from the CURRENT on-disk size — post-encoding,
     * so output files land near the target regardless of row width).

@@ -49,6 +49,49 @@ object StreamOps {
     s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
   }
 
+  // Multi-file staging for trigger-pacing runs: one (source, nFiles)
+  // re-split per JVM. A real deployment's arrival dir is already many
+  // files; locally we split the single test file so `maxFilesPerTrigger`
+  // actually paces micro-batches instead of draining in one.
+  private val stagedMulti = scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
+  private def eventsStreamPaced(s: SparkSession, d: String, nFiles: Int,
+                                maxFilesPerTrigger: Int): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val dir = stagedMulti.getOrElseUpdate((path, nFiles), {
+      val t = java.nio.file.Files.createTempDirectory("graft_stream_paced_")
+      t.toFile.deleteOnExit()
+      s.read.parquet(path).repartition(nFiles).write.mode("overwrite")
+        .parquet(t.toString)
+      t.toString
+    })
+    val schema = s.read.parquet(dir).schema
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(dir)
+    graft.Tables.withEventTs(raw)
+  }
+
+  /** [[windowedCounts]] paced through `nFiles / maxFilesPerTrigger`
+    * micro-batches instead of one. Event-time semantics make the final
+    * result INVARIANT to micro-batch boundaries (same rows, any pacing) —
+    * the correctness half of the trigger-size dial, asserted against the
+    * q30 oracle; the cost half (state-store commits are per-batch, so
+    * smaller triggers buy lower latency at fixed per-batch overhead) is
+    * measured in SCALE.md via [[graft.StreamPace]].
+    */
+  def windowedCountsPaced(s: SparkSession, d: String, nFiles: Int = 8,
+                          maxFilesPerTrigger: Int = 1): DataFrame = {
+    val agg = eventsStreamPaced(s, d, nFiles, maxFilesPerTrigger)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .count()
+    val name = runToMemory(agg, "complete")
+    s.table(name)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("count").as("n"))
+      .orderBy("window_start", "event_type")
+  }
+
   private def runToMemory(df: DataFrame, mode: String): String = {
     val name = "graft_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // Stateful operators pay a fixed per-partition-per-batch state-store

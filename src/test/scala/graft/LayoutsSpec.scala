@@ -39,6 +39,30 @@ class LayoutsSpec extends AnyFunSuite {
       .exceptAll(plain.select("k", "o_orderkey", "c_mktsegment")).count() === 0L)
   }
 
+  test("time-partitioned layout: month range prunes partitions, result exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_timepart_").toString + "/t"
+    val li = Tables.lineitem(spark, sf)
+    Layouts.writeTimePartitioned(li, dir, "l_shipdate")
+    val from = java.sql.Timestamp.valueOf("1996-02-01 00:00:00")
+    val to = java.sql.Timestamp.valueOf("1996-05-01 00:00:00")
+    val ranged = Layouts.readTimeRange(spark, dir, "l_shipdate", from, to)
+    // correctness: identical to filtering the unpartitioned table
+    val expected = li.filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(to))
+    assert(ranged.count() === expected.count())
+    assert(ranged.select("l_orderkey", "l_linenumber")
+      .exceptAll(expected.select("l_orderkey", "l_linenumber")).count() === 0L)
+    // pruning: only the 4 edge-inclusive month partitions are listed
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = ranged.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec if f.relation.partitionSchema.fieldNames.contains("p_month") => f
+    }.head
+    assert(scan.partitionFilters.exists(_.references.map(_.name).toSeq.contains("p_month")))
+    val selected = scan.selectedPartitions.partitionCount
+    val total = spark.read.parquet(dir).select("p_month").distinct().count()
+    assert(selected <= 4 && selected < total,
+      s"month range should prune: read $selected of $total partitions")
+  }
+
   test("compact: many small files become few target-sized files, data intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString + "/t"
     val src = spark.read.parquet(s"${SharedSpark.sf}/lineitem.parquet")

@@ -17,6 +17,14 @@ class StreamAndMultimodalSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() === 0L)
   }
 
+  test("windowed counts are invariant to micro-batch boundaries (trigger pacing)") {
+    val oneBatch = StreamOps.windowedCounts(spark, sf)
+    // 4 staged files, 1 per trigger → 4 micro-batches of accumulated state
+    val paced = StreamOps.windowedCountsPaced(spark, sf, nFiles = 4, maxFilesPerTrigger = 1)
+    assert(paced.count() === oneBatch.count())
+    assert(paced.exceptAll(oneBatch).count() === 0L)
+  }
+
   test("streaming dedup emits exactly the distinct key set") {
     val streamed = StreamOps.streamDedup(spark, sf)
     val batch = Tables.events(spark, sf).select("user_id", "event_type").distinct()
