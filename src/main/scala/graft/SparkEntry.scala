@@ -656,9 +656,53 @@ object SparkEntry {
         |        unnest(range(len(embedding))) AS i
         | FROM embeddings) t
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q63_kmeans" -> kmeansOracleSql(),
     "q70_binary_meta" ->
       """SELECT doc_id AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | sha256(text) AS sha
         |FROM documents ORDER BY 1""".stripMargin
   )
+
+  /** DuckDB mirror of [[graft.operators.Similarity.kmeans]]: `iters`
+    * unrolled Lloyd's iterations, k initial centroids = the first k
+    * vectors by vec_id. Engine-exact by construction: distances are
+    * sequential-double dots on both engines (DuckDB's list_inner_product
+    * ≡ the codegen ArrayDotProduct loop, empirically bit-identical);
+    * inertia sums per-row 1e-4-grid quantized distances exactly; centroid
+    * means land on the 1e-6 grid via integer-rounded quotients — the same
+    * quantized-moments recipe as q16.
+    */
+  private def kmeansOracleSql(k: Int = 8, iters: Int = 3): String = {
+    val sExpr = "list_inner_product(e.v, c.c)*-2.0 + list_sum(list_transform(c.c, x -> x*x))"
+    def iterBlock(i: Int): String = {
+      val next =
+        if (i == iters) ""
+        else s"""
+          |u$i AS (SELECT cluster, i,
+          |    CAST(round(CAST(sum(q) AS DOUBLE)/count(*)) AS BIGINT)/1000000.0 AS m
+          |  FROM (SELECT cluster, unnest(range(len(v))) AS i,
+          |        CAST(round(unnest(v)*1000000) AS BIGINT) AS q FROM a$i) z
+          |  GROUP BY cluster, i),
+          |c${i + 1} AS (SELECT c$i.cluster, coalesce(u.c, c$i.c) AS c FROM c$i LEFT JOIN
+          |  (SELECT cluster, list(m ORDER BY i) AS c FROM u$i GROUP BY cluster) u
+          |  USING (cluster)),""".stripMargin
+      s"""a$i AS (SELECT vec_id, v, cluster, sq FROM (
+        |  SELECT e.vec_id, e.v, c.cluster,
+        |    list_inner_product(e.v, e.v) + ($sExpr) AS sq,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $sExpr ASC, c.cluster ASC) AS rn
+        |  FROM e CROSS JOIN c$i c) t WHERE rn = 1),
+        |s$i AS (SELECT CAST($i AS INT) AS iter, cluster, count(*) AS n,
+        |  round(CAST(sum(CAST(round(sq*10000) AS BIGINT)) AS DOUBLE)/10000.0, 4) AS inertia
+        |  FROM a$i GROUP BY cluster),""".stripMargin + next
+    }
+    val union = (1 to iters).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |c1 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS c
+      |  FROM e WHERE vec_id < $k),
+      |${(1 to iters).map(iterBlock).mkString("\n")}
+      |final AS ($union)
+      |SELECT iter, cluster, CAST(n AS BIGINT) AS n, inertia FROM final
+      |ORDER BY iter, cluster""".stripMargin
+  }
 }

@@ -98,21 +98,30 @@ object Similarity {
         col("vec_id"), col("embedding"),
         (col("xx") + array_min(sArr)).as("sq_dist"),
         (array_position(sArr, array_min(sArr)) - 1).cast("int").as("cluster"))
-      // per-cluster stats for this iteration (one agg)
+      // per-cluster stats for this iteration (one agg). Inertia is summed
+      // on the 1e-4 integer grid (per-row quantize, exact long sum) so the
+      // DuckDB oracle mirror reproduces it bit-for-bit — a raw double sum
+      // is partition-order-dependent and engine-divergent (the q16 lesson).
+      import org.apache.spark.sql.types.LongType
       val stats = assigned.groupBy(col("cluster"))
-        .agg(count(lit(1)).as("n"), sum(col("sq_dist")).as("inertia"))
-        .collect().map(r => (it, r.getInt(0), r.getLong(1), r.getDouble(2)))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("sq_dist") * 10000).cast(LongType)).as("iq"))
+        .collect().map(r => (it, r.getInt(0), r.getLong(1), r.getLong(2) / 1e4))
       results ++= stats
-      // centroid update: (cluster, dim) mean — k·dim cells to the driver
+      // centroid update: (cluster, dim) mean — k·dim cells to the driver.
+      // Means land on the 1e-6 grid via the same integer-scale recipe
+      // (quantize elements, exact long sum, integer-rounded quotient), so
+      // the next iteration's centroid literals are engine-exact too.
       val upd = assigned
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("i", "v")))
         .groupBy(col("cluster"), col("i"))
-        .agg(avg(col("v")).as("m"))
+        .agg(round(sum(round(col("v") * 1000000).cast(LongType)).cast("double") /
+          count(lit(1))).cast(LongType).as("mq"))
         .collect()
       val byCluster = upd.groupBy(_.getInt(0))
       centroids = centroids.indices.map { j =>
         byCluster.get(j) match {
-          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getLong(2) / 1e6).toArray
           case None => centroids(j) // empty cluster keeps its centroid
         }
       }.toArray
