@@ -33,7 +33,23 @@ object Dedup {
         explode(sequence(lit(1), length(col("text")) - (n - 1), lit(2))).as("i"))
       .select(col("doc_id"), xxhash64(col("text").substr(col("i"), lit(n))).as("h"))
       .distinct() // its exchange is the shared materialization barrier
-    minhashLshPairs(ex, tau)
+    // signatures come row-local (CharGramMinhash, bit-identical to the
+    // 64-min-agg over ex — spec-asserted); char-gram tables are the
+    // largest exploded tables in the engine, so skipping their signature
+    // shuffle matters most here. ex stays for exact verification only.
+    minhashLshPairs(ex, tau, Some(signaturesRowLevelChar(
+      Tables.documents(s, d), n, 2)))
+  }
+
+  /** Char-gram analog of [[signaturesRowLevel]]. */
+  private[graft] def signaturesRowLevelChar(docs: DataFrame, n: Int,
+                                            stride: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs
+      .filter(length(col("text")) >= n) // cheap predicate, parity with ex
+      .select(col("doc_id"), GraftFunctions.charMinhash(col("text"), n, stride).as("sig"))
+      .select(col("doc_id") +:
+        (0 until MinhashPerms).map(i => col("sig").getItem(i).as(s"m$i")): _*)
   }
 
   /** Resolve near-dup PAIRS into clusters by iterative min-label

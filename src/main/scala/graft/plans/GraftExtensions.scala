@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectFunction(GraftFunctions.minhashDescriptor)
+    ext.injectFunction(GraftFunctions.charMinhashDescriptor)
   }
 }
 
@@ -32,6 +33,13 @@ object GraftFunctions {
     (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
       MinhashSignature(exprs.head))
 
+  private[plans] val charMinhashDescriptor = (
+    new FunctionIdentifier("graft_char_minhash"),
+    new ExpressionInfo(classOf[CharGramMinhash].getName, "graft_char_minhash"),
+    (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      CharGramMinhash(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
     if (!spark.sessionState.functionRegistry.functionExists(dotDescriptor._1)) {
@@ -41,6 +49,10 @@ object GraftFunctions {
     if (!spark.sessionState.functionRegistry.functionExists(minhashDescriptor._1)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_minhash", minhashDescriptor._3, "built-in")
+    }
+    if (!spark.sessionState.functionRegistry.functionExists(charMinhashDescriptor._1)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_char_minhash", charMinhashDescriptor._3, "built-in")
     }
   }
 
@@ -52,4 +64,12 @@ object GraftFunctions {
 
   /** Row-local 64-perm minhash signature (see [[MinhashSignature]]). */
   def minhash(text: Column): Column = call_function("graft_minhash", text)
+
+  /** Row-local 64-perm minhash over strided char n-grams
+    * (see [[CharGramMinhash]]).
+    */
+  def charMinhash(text: Column, n: Int, stride: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_char_minhash", text, lit(n), lit(stride))
+  }
 }

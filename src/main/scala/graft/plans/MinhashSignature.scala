@@ -48,7 +48,13 @@ case class MinhashSignature(child: Expression) extends UnaryExpression {
     MinhashKernel.compute(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val kernel = MinhashKernel.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // Call the STATIC FORWARDER (`graft.plans.MinhashKernel.compute`) the
+    // compiler emits on the companion class — not `Foo.MODULE$` (the
+    // forwarder class has no MODULE$ field, so Janino rejects the
+    // generated class and the stage silently falls back to interpreted
+    // execution; a non-Serializable object can't ride the references
+    // array either). Pinned by the codegen.fallback=false spec.
+    val kernel = MinhashKernel.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
          |${ev.value} = $kernel.compute($c);
@@ -61,6 +67,47 @@ case class MinhashSignature(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "graft_minhash"
+}
+
+/** Char-n-gram (stride `stride`) twin of [[MinhashSignature]]: the whole
+  * 64-perm signature over a document's strided character n-grams in one
+  * row-local pass — bit-identical to exploding
+  * `xxhash64(substr(text, i, n))` for i = 1, 1+stride, … and running the
+  * 64 min-aggs (the q57 signature stage), with zero exchanges. Both
+  * paths slice by CODE POINTS (`UTF8String.substring` ≡ SQL `substr`).
+  * Documents shorter than n chars yield null.
+  */
+case class CharGramMinhash(child: Expression, n: Int, stride: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_minhash expects a string column, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashKernel.computeCharGrams(input.asInstanceOf[UTF8String], n, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // static-forwarder call — see [[MinhashSignature.doGenCode]]
+    val kernel = MinhashKernel.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $kernel.computeCharGrams($c, $n, $stride);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramMinhash =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_char_minhash"
 }
 
 object MinhashKernel {
@@ -103,6 +150,29 @@ object MinhashKernel {
         p += 1
       }
       j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Null when the doc has < n chars (no grams). Duplicate grams are
+    * harmless for the same reason as [[compute]]: min is
+    * duplicate-insensitive, so the batch path's `distinct()` needs no
+    * replication here.
+    */
+  def computeCharGrams(text: UTF8String, n: Int, stride: Int): ArrayData = {
+    val len = text.numChars()
+    if (len < n) return null
+    val mins = Array.fill(Perms)(Long.MaxValue)
+    var i = 0
+    while (i <= len - n) {
+      val h = XXH64.hashUTF8String(text.substring(i, i + n), SparkHashSeed)
+      var p = 0
+      while (p < Perms) {
+        val v = XXH64.hashLong(h, permSeed(p))
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += stride
     }
     new GenericArrayData(mins)
   }

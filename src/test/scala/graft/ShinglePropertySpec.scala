@@ -53,4 +53,55 @@ class ShinglePropertySpec extends AnyFunSuite {
     assert(eShuffle.exceptAll(eExpr).count() === 0L)
     assert(eExpr.exceptAll(eShuffle).count() === 0L)
   }
+
+  test("CharGramMinhash expression ≡ the char-shingle shuffle pipeline, bit for bit") {
+    import graft.operators.Dedup
+    val n = 5
+    def shuffleSigs(docs: org.apache.spark.sql.DataFrame) =
+      Dedup.signaturesOf(
+        docs.filter(length($"text") >= n)
+          .select($"doc_id", $"text",
+            explode(sequence(lit(1), length($"text") - (n - 1), lit(2))).as("i"))
+          .select($"doc_id", xxhash64($"text".substr($"i", lit(n))).as("h"))
+          .distinct())
+    val corpus = Tables.documents(spark, SharedSpark.sf).select("doc_id", "text")
+    val viaShuffle = shuffleSigs(corpus)
+    val viaExpr = Dedup.signaturesRowLevelChar(corpus, n, 2)
+    assert(viaShuffle.count() === viaExpr.count())
+    assert(viaShuffle.exceptAll(viaExpr).count() === 0L)
+    assert(viaExpr.exceptAll(viaShuffle).count() === 0L)
+
+    // edge cases: < n chars, exactly n, odd/even lengths (stride-2
+    // boundary), duplicate grams, multi-byte code points (substr and the
+    // kernel must both slice by CODE POINTS, not bytes)
+    val edge = Seq(
+      (1L, "abcd"),                     // < 5 chars → no signature row
+      (2L, "abcde"),                    // exactly one gram
+      (3L, "abcdef"),                   // even length, one strided gram
+      (4L, "aaaaaaaaaaaa"),             // all-duplicate grams
+      (5L, "héllo wörld ünïcödé çafé")) // multi-byte UTF-8
+      .toDF("doc_id", "text")
+    val eShuffle = shuffleSigs(edge)
+    val eExpr = Dedup.signaturesRowLevelChar(edge, n, 2)
+    assert(eShuffle.count() === 4L)
+    assert(eExpr.count() === 4L)
+    assert(eShuffle.exceptAll(eExpr).count() === 0L)
+    assert(eExpr.exceptAll(eShuffle).count() === 0L)
+  }
+
+  test("MinhashSignature codegen COMPILES — no silent interpreted fallback") {
+    // With fallback enabled (the default), a Janino compile error degrades
+    // the whole stage to interpreted execution without failing anything —
+    // exactly what happened when the generated code spelled the kernel
+    // object `MinhashKernel.MODULE$`. Disable fallback so a codegen
+    // regression fails this test instead of silently costing throughput.
+    import graft.operators.Dedup
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = Seq((1L, "a b c d e"), (2L, "x y z w")).toDF("doc_id", "text")
+      assert(Dedup.signaturesRowLevel(docs).collect().length === 2)
+      assert(Dedup.signaturesRowLevelChar(docs, 5, 2).collect().length === 2)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
 }
