@@ -76,18 +76,22 @@ object Scale {
       .withColumn("event_id", off("event_id"))
       .withColumn("user_id", off("user_id")).drop("rep"), s"$out/events.parquet")
 
-    // documents: per-replica bijective letter rotation — replica r maps
-    // letter i to letter (i + r·7) mod 26 (7 coprime to 26, so every
-    // replica's map is a distinct bijection). Within-replica structure
-    // is preserved exactly; cross-replica text shares no grams.
+    // documents: per-replica bijective letter PERMUTATION, seeded by the
+    // replica id. A ROTATION has period 26 in r, so ≥27 replicas would
+    // share maps and every document would gain exact cross-replica twins
+    // (measured at factor 100: ~3.8 copies per rotation class, pair
+    // counts ~4× beyond linear). Seeded shuffles draw from 26! distinct
+    // bijections; within-replica gram structure is preserved exactly,
+    // cross-replica text shares no grams at any factor.
     val alphabet = "abcdefghijklmnopqrstuvwxyz"
-    val rotated = (1 until factor).foldLeft(col("text")) { (acc, r) =>
-      val to = alphabet.indices.map(i => alphabet((i + r * 7) % 26)).mkString
-      when(col("rep") === r, translate(col("text"), alphabet, to)).otherwise(acc)
+    def permFor(r: Int): String =
+      new scala.util.Random(0xA11CE + r).shuffle(alphabet.toList).mkString
+    val permuted = (1 until factor).foldLeft(col("text")) { (acc, r) =>
+      when(col("rep") === r, translate(col("text"), alphabet, permFor(r))).otherwise(acc)
     }
     writeSingle(replicated("documents")
       .withColumn("doc_id", off("doc_id"))
-      .withColumn("text", rotated)
+      .withColumn("text", permuted)
       .drop("rep"), s"$out/documents.parquet")
 
     // embeddings: deterministic per-replica ±1 dimension mask keeps

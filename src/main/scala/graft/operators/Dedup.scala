@@ -165,8 +165,19 @@ object Dedup {
     // (ReusedExchange within the single action) — no eager checkpoint.
     val ex = explodedShingles(s, d)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // The effective cap is a corpus FRACTION, not an absolute df: df
+    // grows with corpus size, so a fixed cap reclassifies ever more
+    // shingles as hot at scale and the per-doc hot-set arrays balloon
+    // (measured 47× time for 10× data at the 100× point with cap=256).
+    // max(dfCap, n_docs/200) keeps both cost terms linear at any scale;
+    // the exactness argument holds for ANY cap. n_docs rides in as a
+    // 1-row aggregate cross-join (no hint needed — AQE broadcasts a
+    // 1-row side unconditionally), not a separate driver action.
+    val nDocs = Tables.documents(s, d).select(count(lit(1)).as("n_docs"))
     val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select(col("h"))
+      .crossJoin(nDocs)
+      .filter(col("df") > greatest(lit(dfCap.toLong), col("n_docs") / 200))
+      .select(col("h"))
     // no broadcast hint: |hot| ≤ Σdf/dfCap is small in practice but
     // corpus-derived; AQE broadcasts it when it measures small.
     val rareEx = ex.join(hot, Seq("h"), "left_anti")
@@ -414,11 +425,12 @@ object Dedup {
     * (plus would-be 1-bit probes at higher recall settings), so cost is
     * Σ_bucket n_b² instead of n².
     */
-  def embeddingCosineLsh(s: SparkSession, d: String, tau: Double = 0.3): DataFrame = {
+  def embeddingCosineLsh(s: SparkSession, d: String, tau: Double = 0.3,
+                         bits: Int = 8): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
-        Similarity.lshBucket(col("embedding")).as("bucket"),
+        Similarity.lshBucket(col("embedding"), bits).as("bucket"),
         GraftFunctions.norm(col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

@@ -46,19 +46,28 @@ object Similarity {
   private val Dim = 64
 
   /** Deterministic pseudo-random ±1 hyperplanes (fixed seed → the bucket
-    * function is stable across runs and executors).
+    * function is stable across runs and executors). `planesFor(8)` is
+    * the historical 8-plane set (same seed and draw order).
     */
-  private[operators] val planes: Array[Array[Double]] = {
+  private[operators] def planesFor(bits: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(Hyperplanes, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    Array.fill(bits, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** LSH bucket id of a vector column: 8 sign bits of hyperplane dots
-    * (one codegen'd dot per plane). Caller must have registered
+  private[operators] val planes: Array[Array[Double]] = planesFor(Hyperplanes)
+
+  /** LSH bucket id of a vector column: `bits` sign bits of hyperplane
+    * dots (one codegen'd dot per plane). Caller must have registered
     * [[GraftFunctions]] on the session.
+    *
+    * `bits` is the SCALE dial: within-bucket comparison costs Σ n_b²,
+    * so bucket count must track corpus size — size bits ≈
+    * log₂(n / target-bucket-size), e.g. 8 bits for ~100 k vectors at
+    * ~500/bucket, 12 bits for ~2 M. A fixed bucket count measured 56×
+    * cost for 10× vectors at the 100× point.
     */
-  def lshBucket(v: Column): Column =
-    planes.zipWithIndex.map { case (p, i) =>
+  def lshBucket(v: Column, bits: Int = Hyperplanes): Column =
+    planesFor(bits).zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
       when(GraftFunctions.dot(v, planeLit) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)

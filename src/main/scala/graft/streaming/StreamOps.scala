@@ -85,23 +85,43 @@ object StreamOps {
     val agg = eventsStreamPaced(s, d, nFiles, maxFilesPerTrigger)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .count()
-    val name = runToMemory(agg, "complete")
+    val name = runToMemory(agg, "complete", partsFor(d, "events"))
     s.table(name)
       .select(col("window.start").as("window_start"), col("event_type"),
         col("count").as("n"))
       .orderBy("window_start", "event_type")
   }
 
-  private def runToMemory(df: DataFrame, mode: String): String = {
+  /** Streaming shuffle partitions sized to per-trigger VOLUME: the
+    * state store costs per partition per batch, so small batches want few
+    * partitions (8 at test SFs) — but a 10 M-event batch pushed through
+    * 8 partitions serializes session-window state (measured 23-47× time
+    * for 10× data at the 100× point). ~24 MB of staged source per
+    * partition, clamped to [8, 32].
+    */
+  private def partsFor(d: String, table: String): Int = {
+    val p = java.nio.file.Paths.get(s"$d/$table.parquet")
+    val bytes =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val st = java.nio.file.Files.walk(p)
+        try st.filter(q => java.nio.file.Files.isRegularFile(q))
+          .mapToLong(q => java.nio.file.Files.size(q)).sum
+        finally st.close()
+      } else java.nio.file.Files.size(p)
+    math.min(32, math.max(8, (bytes / (24L << 20)).toInt))
+  }
+
+  private def runToMemory(df: DataFrame, mode: String, parts: Int = 8): String = {
     val name = "graft_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // Stateful operators pay a fixed per-partition-per-batch state-store
     // cost (open/commit/snapshot), so micro-batches want FAR fewer
     // partitions than batch shuffles — the partition count is sized to
-    // per-TRIGGER volume, not corpus volume, and is pinned into the
-    // checkpoint at first run. Scope the override to this query's start.
+    // per-TRIGGER volume (see partsFor), not corpus volume, and is
+    // pinned into the checkpoint at first run. Scope the override to
+    // this query's start.
     val s = df.sparkSession
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
       df.writeStream
         .format("memory")
@@ -122,7 +142,7 @@ object StreamOps {
     val agg = eventsStream(s, d)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .count()
-    val name = runToMemory(agg, "complete")
+    val name = runToMemory(agg, "complete", partsFor(d, "events"))
     s.table(name)
       .select(col("window.start").as("window_start"), col("event_type"),
         col("count").as("n"))
@@ -138,7 +158,7 @@ object StreamOps {
     val distinctPairs = eventsStream(s, d)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-    val name = runToMemory(distinctPairs, "append")
+    val name = runToMemory(distinctPairs, "append", partsFor(d, "events"))
     s.table(name).orderBy("user_id", "event_type")
   }
 
@@ -156,7 +176,7 @@ object StreamOps {
       .withWatermark("wts", "24 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    val name = runToMemory(deduped, "append")
+    val name = runToMemory(deduped, "append", partsFor(d, "events"))
     s.table(name).orderBy("user_id", "event_type")
   }
 
@@ -168,7 +188,7 @@ object StreamOps {
     val agg = eventsStream(s, d)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .count()
-    val name = runToMemory(agg, "complete")
+    val name = runToMemory(agg, "complete", partsFor(d, "events"))
     s.table(name)
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("count").as("n_events"))
@@ -183,7 +203,7 @@ object StreamOps {
     val agg = eventsStream(s, d)
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
       .count()
-    val name = runToMemory(agg, "complete")
+    val name = runToMemory(agg, "complete", partsFor(d, "events"))
     s.table(name)
       .select(col("window.start").as("window_start"), col("event_type"),
         col("count").as("n"))
@@ -200,7 +220,7 @@ object StreamOps {
       .join(dim, col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .count()
-    val name = runToMemory(agg, "complete")
+    val name = runToMemory(agg, "complete", partsFor(d, "events"))
     s.table(name)
       .select(col("c_mktsegment"), col("count").as("n"))
       .orderBy("c_mktsegment")
@@ -227,7 +247,8 @@ object StreamOps {
       col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
       col("c_ts") < col("p_ts"))
     val name = runToMemory(
-      joined.select(col("p_id"), col("c_ts").cast("timestamp_ntz").as("c_ts")), "append")
+      joined.select(col("p_id"), col("c_ts").cast("timestamp_ntz").as("c_ts")), "append",
+      partsFor(d, "events"))
     s.table(name).orderBy("p_id", "c_ts")
   }
 
@@ -265,7 +286,8 @@ object StreamOps {
     // Each user's most recent session stays open in state (NoTimeout →
     // it never emits on a drained static source); the oracle therefore
     // covers the CLOSED sessions, i.e. all but the last per user.
-    val name = runToMemory(out.toDF("user_id", "start_us", "n_events"), "append")
+    val name = runToMemory(out.toDF("user_id", "start_us", "n_events"), "append",
+      partsFor(d, "events"))
     s.table(name)
       .select(col("user_id"),
         timestamp_micros(col("start_us")).cast("timestamp_ntz").as("session_start"),
@@ -292,7 +314,7 @@ object StreamOps {
           (user, total)
       }
       .toDF("user_id", "n")
-    val name = runToMemory(updated, "update")
+    val name = runToMemory(updated, "update", partsFor(d, "events"))
     // one input file → one micro-batch → the last (only) emission per key
     // is the final total
     s.table(name).groupBy(col("user_id")).agg(max(col("n")).as("n"))
@@ -332,7 +354,7 @@ object StreamOps {
       .write.mode("overwrite").parquet(sigDir)
 
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", partsFor(d, "documents").toString)
     try {
       tableStream(s, d, "documents")
         .select(col("doc_id"), col("text"))
