@@ -10,8 +10,13 @@ object Bench {
     // Warm-up at the smallest SF: identical plan shapes populate the
     // codegen cache + JIT so the timed pass measures steady-state
     // execution, not first-compile latency.
+    // Optional args = query keys: bench only that subset (targeted
+    // re-measure after a fix; full run when empty).
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if (warmDir.nonEmpty) SparkEntry.queries.foreach { case (_, fn) =>
+    if (warmDir.nonEmpty) selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     // Build the ANN bucket index for the MEASURED dir here: it is
@@ -21,7 +26,7 @@ object Bench {
     // separately (build ≈ data-write time; probe ≈ 1 s at sf0.1 AND 10×).
     try graft.operators.Similarity.knnLshIndexed(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
