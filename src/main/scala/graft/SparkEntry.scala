@@ -79,6 +79,11 @@ object SparkEntry {
     "q48_source_mix"         -> (CorpusOps.sourceMix _),
     "q49_repetition"         -> (CorpusOps.repetition _),
     "q59_decontaminate"      -> ((s, d) => CorpusOps.decontaminate(s, d)),
+    "q66_top_tokens"         -> ((s, d) => TextAnalysis.topTokens(s, d)),
+    "q67_sample_corpus"      -> ((s, d) => CorpusOps.sampleCorpus(s, d)),
+    "q69_substring_dedup"    -> ((s, d) => CorpusOps.duplicateSpans(s, d)),
+    // Bloom pre-filter + exact confirmation ≡ q59 — checked by the SAME oracle
+    "q72_bloom_decontaminate" -> ((s, d) => CorpusOps.decontaminateBloom(s, d)),
     "q64_training_corpus"    -> ((s, d) => Pipeline.trainingCorpus(s, d)),
     // §2c dedup
     "q50_dedup_exact"        -> (Dedup.exact _),
@@ -91,6 +96,7 @@ object SparkEntry {
     "q56_deduped_corpus"     -> ((s, d) => Dedup.dedupedDocuments(s, d)
                                     .orderBy("doc_id").select("doc_id", "text")),
     "q57_char_ngram_jaccard" -> ((s, d) => Dedup.charNgramJaccard(s, d)),
+    "q71_crosscorpus_neardup" -> ((s, d) => Dedup.crossCorpusNearDup(s, d)),
     // §2c similarity search
     "q60_knn_brute"          -> ((s, d) => Similarity.knnBrute(s, d)),
     "q61_knn_ivf"            -> ((s, d) => Similarity.knnLshIndexed(s, d)),
@@ -100,6 +106,7 @@ object SparkEntry {
     "q61b_knn_ivf_full"      -> ((s, d) => Similarity.knnLshIndexed(s, d, probeRadius = 8)
                                     .select("vec_id", "sim")),
     "q62_embedding_centroids" -> (Similarity.centroids _),
+    "q68_quantize_embeddings" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "q63_kmeans"             -> ((s, d) => Similarity.kmeans(s, d)),
     // §2c multimodal (declarative metadata path)
     "q70_binary_meta"        -> (Multimodal.binaryMeta _)
@@ -518,6 +525,80 @@ object SparkEntry {
     "q50_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q66_top_tokens" ->
+      """SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df FROM (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+        |WHERE token <> '' GROUP BY 1 ORDER BY n DESC, token LIMIT 200""".stripMargin,
+    "q67_sample_corpus" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+        |ORDER BY doc_id""".stripMargin,
+    "q68_quantize_embeddings" ->
+      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |sc AS (SELECT vec_id, max(abs(x))/127.0 AS scale FROM el GROUP BY 1),
+        |qn AS (SELECT el.vec_id, x, scale,
+        |         CASE WHEN scale = 0 THEN 0 ELSE CAST(round(x/scale) AS BIGINT) END AS q
+        |       FROM el JOIN sc USING (vec_id))
+        |SELECT vec_id, round(max(scale), 6) AS scale,
+        | CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+        | round(CAST(sum(CAST(round((x-q*scale)*(x-q*scale)*1e10) AS BIGINT)) AS DOUBLE)/1e10, 6) AS sq_err
+        |FROM qn GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q69_substring_dedup" ->
+      """WITH tok0 AS (SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+        |               unnest(range(len(string_split(text,' ')))) AS pos FROM documents)
+        |  WHERE len(t) > 0),
+        |tokl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS rn,
+        |        array_to_string(ts[CAST(i AS BIGINT):CAST(i+9 AS BIGINT)], ' ') AS gram
+        |      FROM tokl, unnest(range(1, len(ts)-8)) AS u(i)
+        |      WHERE len(ts) >= 10),
+        |dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) > 1),
+        |cov AS (SELECT DISTINCT g.doc_id, g.rn + o AS rn
+        |        FROM g JOIN dup USING (gram), unnest(range(10)) AS u(o)),
+        |kept AS (SELECT t.doc_id, t.rn, t.t FROM tok0 t
+        |         LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.rn = c.rn
+        |         WHERE c.rn IS NULL),
+        |counts AS (SELECT doc_id, count(*) AS n_tokens FROM tok0 GROUP BY 1),
+        |kc AS (SELECT doc_id, count(*) AS n_kept,
+        |              string_agg(t, ' ' ORDER BY rn) AS cleaned FROM kept GROUP BY 1)
+        |SELECT c.doc_id, n_tokens,
+        |       CAST(n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_covered,
+        |       coalesce(cleaned, '') AS cleaned_text
+        |FROM counts c LEFT JOIN kc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q71_crosscorpus_neardup" ->
+      """WITH tok AS (SELECT doc_id, source, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text,' '))-2),
+        |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, len(sh) AS sz FROM tok),
+        |exa AS (SELECT doc_id, unnest(sh) AS s FROM tok WHERE source IN
+        |  ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')),
+        |exb AS (SELECT doc_id, unnest(sh) AS s FROM tok WHERE source NOT IN
+        |  ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')),
+        |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |          FROM exa a JOIN exb b ON a.s = b.s GROUP BY 1,2)
+        |SELECT p.a, p.b,
+        | round(CAST(p.inter AS DOUBLE)/(sa.sz+sb.sz-p.inter),4) AS jaccard
+        |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b
+        |WHERE round(CAST(p.inter AS DOUBLE)/(sa.sz+sb.sz-p.inter),4) >= 0.5
+        |ORDER BY 1,2""".stripMargin,
+    // Bloom pre-filter + exact confirmation computes EXACTLY q59's answer
+    // (the sketch can only admit extra candidates; the exact semi-join
+    // removes them) — so it shares q59's oracle verbatim.
+    "q72_bloom_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |g AS (SELECT doc_id, source,
+        |        array_to_string(ts[CAST(i+1 AS BIGINT):CAST(i+8 AS BIGINT)], ' ') AS gram
+        |      FROM tok, unnest(range(len(ts)-7)) AS u(i)
+        |      WHERE len(ts) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+        |SELECT doc_id, count(DISTINCT gram) AS n_shared
+        |FROM (SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0') c
+        |JOIN bench USING (gram)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q53_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, list_distinct(list_transform(
         |   generate_series(1, len(string_split(text,' '))-2),

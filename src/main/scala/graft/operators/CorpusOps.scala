@@ -112,6 +112,96 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic hash sampling: keep a document iff the first hex digit
+    * of md5(doc_id) falls in `buckets` (2 of 16 digits = a 1/8 sample).
+    * The selection is a pure row-local predicate — no RNG state, no
+    * coordination: every executor, every re-run, and every OTHER engine
+    * (the DuckDB oracle computes the same md5) picks the identical rows.
+    * That reproducibility is the point at 100 TB: the sample of a corpus
+    * snapshot is a deterministic function of it, so downstream experiments
+    * are replayable. Complements `stat.sampleBy` (seeded per-stratum
+    * rates) with the exact-reproducible form.
+    */
+  def sampleCorpus(s: SparkSession, d: String,
+                   buckets: Seq[String] = Seq("0", "1")): DataFrame =
+    Tables.documents(s, d)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1).isin(buckets: _*))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Exact duplicate-SPAN removal (the substring-level dedup of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * at token-window granularity): any `n`-token window whose hash occurs
+    * more than once in the corpus marks its n positions as covered; covered
+    * tokens are dropped and each document is reassembled from the
+    * survivors. Catches boilerplate repeated ACROSS documents that
+    * document-level near-dup (q51) never sees.
+    *
+    * Plan shape: windows come from the codegen shingling path (explode →
+    * lead window, hashes only — gram strings never shuffle); the dup-hash
+    * set is one hash-agg; coverage is an n-way position explode of dup
+    * windows only (dup density × n rows, not corpus × n); reassembly is a
+    * per-doc sort_array over collect_list — per-doc state, never global.
+    */
+  def duplicateSpans(s: SparkSession, d: String, n: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .filter(length(col("t")) > 0)
+      .withColumn("rn", row_number().over(w))
+    val leads = (1 until n).map(i => lead(col("t"), i).over(w).as(s"t$i"))
+    val grams = tok
+      .select(col("doc_id") +: col("rn") +: col("t") +: leads: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"), col("rn"),
+        xxhash64(col("t") +: (1 until n).map(i => col(s"t$i")): _*).as("h"))
+    val dupH = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+    val covered = grams.join(dupH, "h")
+      .select(col("doc_id"), explode(sequence(col("rn"), col("rn") + (n - 1))).as("rn"))
+      .distinct()
+    val kept = tok.join(covered, Seq("doc_id", "rn"), "left_anti")
+    val keptAgg = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("rn"), col("t")))),
+        x => x.getField("t")), " ").as("cleaned_text"))
+    tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_covered"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Decontamination with a Bloom-filter pre-filter — the form that holds
+    * when the benchmark suite itself is too large to broadcast as an exact
+    * set. The benchmark shingle hashes are aggregated into ONE serialized
+    * Bloom sketch (Spark's own BloomFilterAggregate — the sketch behind
+    * runtime join filters); only that sketch reaches the driver (the same
+    * contract as the k-means model). The corpus scan probes the sketch as
+    * a foldable codegen predicate, so ~all clean shingles die inside the
+    * scan; the exact semi-join that removes Bloom false positives then
+    * runs on the few survivors. Output ≡ [[decontaminate]] exactly —
+    * verified by the same DuckDB oracle.
+    */
+  def decontaminateBloom(s: SparkSession, d: String, n: Int = 8,
+                         expectedItems: Long = 1L << 20): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    val bench = shingleHashes(docs.filter(col("source") === "src0"), n)
+      .select(col("h")).distinct()
+    val sketch = bench
+      .agg(graft.plans.GraftFunctions.bloomAgg(col("h"), expectedItems, expectedItems * 8)
+        .as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val corpus = shingleHashes(docs.filter(col("source") =!= "src0"), n)
+      .filter(graft.plans.GraftFunctions.bloomContains(lit(sketch), col("h")))
+    corpus.join(broadcast(bench), "h")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("h")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** Source mixture report: per-source doc/token counts, token share, and
     * the resampling weight that would flatten the mix to uniform
     * (weight = target-tokens-per-source / actual-tokens). The windows run

@@ -372,6 +372,48 @@ object Dedup {
     joinSizesAndScore(inter, sizes, tau)
   }
 
+  /** Cross-corpus near-dup join — "which documents of the NEW crawl are
+    * near-dups of the EXISTING corpus" (the incremental-ingestion shape;
+    * here corpus A = sources src0-src9, corpus B = src10-src19). Unlike
+    * the self-join operators this only forms A×B candidates: band keys of
+    * A join band keys of B, so cost is |A|'s collisions against B — never
+    * within-corpus pairs that would be discarded anyway, and never O(n²).
+    * Signatures are the row-local codegen expression on both sides;
+    * candidates pass the signature-agreement pre-filter, then exact
+    * word-3-gram Jaccard verification. Output (a ∈ A, b ∈ B, jaccard ≥ τ)
+    * is exact at LSH recall, same as q51.
+    */
+  def crossCorpusNearDup(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val aSrc = (0 to 9).map(i => s"src$i")
+    val inA = col("source").isin(aSrc: _*)
+    val (da, db) = (docs.filter(inA), docs.filter(!inA))
+    val exA = shinglesOf(da).localCheckpoint(true)
+    val exB = shinglesOf(db).localCheckpoint(true)
+    val sigA = signaturesRowLevel(da).localCheckpoint(true)
+    val sigB = signaturesRowLevel(db).localCheckpoint(true)
+    val candRaw = bandsOf(sigA).as("a").join(bandsOf(sigB).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .dropDuplicates("a", "b")
+    val minAgree = math.max(0, math.ceil((tau - 0.25) * MinhashPerms).toInt)
+    val cand = candRaw
+      .join(sigA.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sigB.as("sb"), col("b") === col("sb.doc_id"))
+      .filter(agreement("sa", "sb") >= minAgree)
+      .select(col("a"), col("b"))
+    // sizes from both sides (doc_ids are disjoint across the corpora)
+    val sizes = exA.unionByName(exB)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val candA = exA.join(cand, col("doc_id") === col("a"))
+      .select(col("a"), col("b"), col("h"))
+    val inter = candA.join(exB.as("y"),
+        col("y.doc_id") === col("b") && col("y.h") === candA("h"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    joinSizesAndScore(inter, sizes, tau)
+  }
+
   private val SimhashBits = 64
   // 16-bit chunks: pigeonhole-complete for hamming ≤ 3, and fine enough
   // that biased bit distributions (shared-vocab corpora) don't collapse

@@ -141,6 +141,41 @@ object Similarity {
       .orderBy("iter", "cluster")
   }
 
+  /** Symmetric int8 quantization of the embedding column — the storage/
+    * bandwidth compression step of a vector index (a 64-dim float32
+    * vector becomes 64 bytes + one scale). Per vector: scale =
+    * max|x|/127, q_i = round(x_i/scale) ∈ [-127,127]; reports the scale,
+    * the saturated-element count, and the exact L2² reconstruction error.
+    *
+    * Plan: posexplode → per-vector max via window → row-local quantize →
+    * one hash-agg — all codegen, two shuffles on vec_id (window + agg),
+    * each carrying (id, dim, value) rows. The error sum uses the q16
+    * recipe (per-element 1e-10-grid quantize, exact long sum) so it is
+    * partition-order-independent and engine-exact — a raw double sum
+    * would hash-diverge from the oracle.
+    */
+  def quantizeInt8(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val el = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("vec_id"), col("i"), col("xf").cast("double").as("x"))
+    val w = Window.partitionBy(col("vec_id"))
+    val q = el
+      .withColumn("scale", max(abs(col("x"))).over(w) / 127.0)
+      .withColumn("q",
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(round(col("x") / col("scale")).cast(LongType)))
+    val err = (col("x") - col("q") * col("scale"))
+    q.groupBy(col("vec_id"))
+      .agg(
+        round(max(col("scale")), 6).as("scale"),
+        sum(when(abs(col("q")) === 127, 1L).otherwise(0L)).as("n_sat"),
+        round(sum(round(err * err * 1e10).cast(LongType)).cast("double") / 1e10, 6)
+          .as("sq_err"))
+      .orderBy("vec_id")
+  }
+
   /** All bucket ids within hamming distance `r` of `bucket` (multi-probe
     * fan-out: C(8,0)+C(8,1)+… buckets).
     */

@@ -124,4 +124,22 @@ object TextAnalysis {
     Tables.documents(s, d)
       .select(col("doc_id"), md5(normalize(col("text"))).as("fp"))
       .orderBy("doc_id")
+
+  /** Corpus heavy hitters: the top-N tokens by occurrence, with document
+    * frequency — the vocabulary report behind stopword lists, df-caps and
+    * tokenizer audits. One explode feeds both aggregates; the token-level
+    * agg is map-side partial, and the final top-N is TakeOrdered (never a
+    * full sort). At 100 TB the exact form costs one shuffle keyed on the
+    * (vocabulary-sized, Zipf-concentrated) token; the sketch alternative
+    * (count-min / `approx_count_distinct`) trades that shuffle's exactness
+    * for fixed-size state — same dial as q65.
+    */
+  def topTokens(s: SparkSession, d: String, topN: Int = 200): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
 }

@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectFunction(GraftFunctions.minhashDescriptor)
     ext.injectFunction(GraftFunctions.charMinhashDescriptor)
+    ext.injectFunction(GraftFunctions.bloomAggDescriptor)
+    ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
   }
 }
 
@@ -40,19 +42,38 @@ object GraftFunctions {
       CharGramMinhash(exprs.head,
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
 
+  /** Spark's own Bloom-filter aggregate (the sketch behind runtime join
+    * filters), surfaced as a library function: builds a serialized Bloom
+    * filter over xxhash64 values. Only the KB..MB sketch crosses stage
+    * boundaries — the 100 TB analog of collecting a semi-join key set.
+    */
+  private[plans] val bloomAggDescriptor = (
+    new FunctionIdentifier("graft_bloom_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "graft_bloom_agg"),
+    (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      // return the raw AggregateFunction — the analyzer wraps it in an
+      // AggregateExpression, exactly as for built-in aggregate builders
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2)))
+
+  private[plans] val bloomContainsDescriptor = (
+    new FunctionIdentifier("graft_bloom_contains"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "graft_bloom_contains"),
+    (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1)))
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
-    if (!spark.sessionState.functionRegistry.functionExists(dotDescriptor._1)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_dot", dotDescriptor._3, "built-in")
-    }
-    if (!spark.sessionState.functionRegistry.functionExists(minhashDescriptor._1)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_minhash", minhashDescriptor._3, "built-in")
-    }
-    if (!spark.sessionState.functionRegistry.functionExists(charMinhashDescriptor._1)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_char_minhash", charMinhashDescriptor._3, "built-in")
+    Seq(dotDescriptor, minhashDescriptor, charMinhashDescriptor,
+        bloomAggDescriptor, bloomContainsDescriptor).foreach { desc =>
+      if (!spark.sessionState.functionRegistry.functionExists(desc._1)) {
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          desc._1.funcName, desc._3, "built-in")
+      }
     }
   }
 
@@ -72,4 +93,19 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.lit
     call_function("graft_char_minhash", text, lit(n), lit(stride))
   }
+
+  /** Bloom-filter aggregate over a LONG column (feed it xxhash64 values);
+    * returns the serialized sketch as binary. Requires register().
+    */
+  def bloomAgg(h: Column, expectedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_bloom_agg", h, lit(expectedItems), lit(numBits))
+  }
+
+  /** Probe a serialized Bloom filter (pass the sketch as a binary LITERAL
+    * so the predicate is foldable and stays inside codegen). May return
+    * false-positive trues; never false-negatives. Requires register().
+    */
+  def bloomContains(bloom: Column, h: Column): Column =
+    call_function("graft_bloom_contains", bloom, h)
 }

@@ -50,28 +50,32 @@ class ThrottledLinesSourceSpec extends AnyFunSuite {
     val ckpt = dir.resolve("ckpt").toString
     val outDir = dir.resolve("out").toString
 
-    def start() = spark.readStream
-      .format(classOf[ThrottledLinesSource].getName)
-      .option("path", f.toString)
-      .option("linesPerTrigger", "3")
-      .load()
-      .writeStream.format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckpt)
-      .start()
+    def start(drainAll: Boolean) = {
+      val w = spark.readStream
+        .format(classOf[ThrottledLinesSource].getName)
+        .option("path", f.toString)
+        .option("linesPerTrigger", "3")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+      // AvailableNow drains the remaining backlog then terminates — a
+      // deterministic end state (polling the output with a wall-clock
+      // timeout was flaky: 200 lines at 3/trigger is ~67 parquet+commit
+      // micro-batches, which can exceed any fixed budget on a loaded box)
+      (if (drainAll) w.trigger(Trigger.AvailableNow()) else w).start()
+    }
 
     // first run: let a few batches commit, then stop mid-stream
-    val q1 = start()
+    val q1 = start(drainAll = false)
     eventually { assert(q1.recentProgress.count(_.numInputRows > 0) >= 2) }
     q1.stop(); q1.awaitTermination()
     val afterFirst = spark.read.parquet(outDir).count()
     assert(afterFirst > 0 && afterFirst < 200, s"first run wrote $afterFirst")
 
-    // second run resumes from the committed line offset
-    val q2 = start()
-    eventually {
-      assert(spark.read.parquet(outDir).count() == 200)
-    }
-    q2.stop(); q2.awaitTermination()
+    // second run resumes from the committed line offset and drains
+    val q2 = start(drainAll = true)
+    q2.awaitTermination()
+    assert(spark.read.parquet(outDir).count() == 200)
     val rows = spark.read.parquet(outDir).as[(Long, String)].collect().sortBy(_._1)
     assert(rows.map(_._1).toSeq == (0L until 200L), "line_no gap or dup")
     assert(rows.map(_._2).toSeq == (0 until 200).map(i => s"row-$i"))
