@@ -31,6 +31,13 @@ object StreamOps {
     * file-stream source requires a directory; stage the (read-only)
     * input file into a temp dir once per JVM. On a cluster the source
     * would already be a directory of arriving files.
+    *
+    * A single file larger than [[paceBytes]] is re-staged as
+    * event-time-ordered chunks (see [[pacedDir]]) so one trigger admits
+    * one bounded chunk instead of draining the whole backlog through a
+    * single micro-batch — the measured failure mode at the 100× point
+    * was exactly that drain (10 M events of session state built in one
+    * batch thrashes GC no matter the partition count).
     */
   private def tableStream(s: SparkSession, d: String, table: String): DataFrame = {
     val path = s"$d/$table.parquet"
@@ -38,6 +45,8 @@ object StreamOps {
     // dir on a cluster) streams as-is; a single file gets staged
     val dir =
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path))) path
+      else if (bytesFor(d, table) > paceBytes)
+        pacedDir(s, path, math.ceil(bytesFor(d, table).toDouble / paceBytes).toInt)
       else stagedDirs.getOrElseUpdate(path, {
         val t = java.nio.file.Files.createTempDirectory("graft_stream_")
         t.toFile.deleteOnExit()
@@ -55,17 +64,47 @@ object StreamOps {
   // actually paces micro-batches instead of draining in one.
   private val stagedMulti = scala.collection.concurrent.TrieMap.empty[(String, Int), String]
 
+  /** Re-stage a single-file source as `nFiles` event-time-ordered chunk
+    * files with ascending modification times: range-partition on the
+    * time column (first column when the table has no `ts`), sort within
+    * each chunk, and stamp mtimes in range order so the file source
+    * admits chunks oldest-first. This locally reproduces what a
+    * production arrival directory provides naturally — files landing
+    * over time, each covering a bounded span — which is what keeps
+    * (a) per-trigger executor volume bounded and (b) watermark advance
+    * monotone, with cross-batch disorder confined to chunk boundaries.
+    */
+  private def pacedDir(s: SparkSession, path: String, nFiles: Int): String =
+    stagedMulti.getOrElseUpdate((path, nFiles), {
+      val df = s.read.parquet(path)
+      val orderCol = if (df.columns.contains("ts")) "ts" else df.columns.head
+      val t = java.nio.file.Files.createTempDirectory("graft_stream_paced_")
+      t.toFile.deleteOnExit()
+      df.repartitionByRange(nFiles, col(orderCol)).sortWithinPartitions(orderCol)
+        .write.mode("overwrite").parquet(t.toString)
+      // range partition i holds the i-th ascending key range and writes
+      // part-0000i-*; FileStreamSource orders admission by mtime
+      val parts = {
+        val st = java.nio.file.Files.list(t)
+        try {
+          val it = st.iterator()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+          while (it.hasNext) { val p = it.next(); if (p.getFileName.toString.startsWith("part-")) buf += p }
+          buf.sortBy(_.getFileName.toString).toSeq
+        } finally st.close()
+      }
+      val base = System.currentTimeMillis()
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
+      }
+      t.toString
+    })
+
   private def eventsStreamPaced(s: SparkSession, d: String, nFiles: Int,
                                 maxFilesPerTrigger: Int): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$d/events.parquet"
-    val dir = stagedMulti.getOrElseUpdate((path, nFiles), {
-      val t = java.nio.file.Files.createTempDirectory("graft_stream_paced_")
-      t.toFile.deleteOnExit()
-      s.read.parquet(path).repartition(nFiles).write.mode("overwrite")
-        .parquet(t.toString)
-      t.toString
-    })
+    val dir = pacedDir(s, s"$d/events.parquet", nFiles)
     val schema = s.read.parquet(dir).schema
     val raw = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(dir)
@@ -85,7 +124,7 @@ object StreamOps {
     val agg = eventsStreamPaced(s, d, nFiles, maxFilesPerTrigger)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .count()
-    val name = runToMemory(agg, "complete", partsFor(d, "events"))
+    val name = runToMemory(agg, "complete", partsFor(d, "events"), useRocksDb(d, "events"))
     s.table(name)
       .select(col("window.start").as("window_start"), col("event_type"),
         col("count").as("n"))
@@ -99,19 +138,60 @@ object StreamOps {
     * for 10× data at the 100× point). ~24 MB of staged source per
     * partition, clamped to [8, 32].
     */
-  private def partsFor(d: String, table: String): Int = {
+  private def bytesFor(d: String, table: String): Long = {
     val p = java.nio.file.Paths.get(s"$d/$table.parquet")
-    val bytes =
-      if (java.nio.file.Files.isDirectory(p)) {
-        val st = java.nio.file.Files.walk(p)
-        try st.filter(q => java.nio.file.Files.isRegularFile(q))
-          .mapToLong(q => java.nio.file.Files.size(q)).sum
-        finally st.close()
-      } else java.nio.file.Files.size(p)
-    math.min(32, math.max(8, (bytes / (24L << 20)).toInt))
+    if (java.nio.file.Files.isDirectory(p)) {
+      val st = java.nio.file.Files.walk(p)
+      try st.filter(q => java.nio.file.Files.isRegularFile(q))
+        .mapToLong(q => java.nio.file.Files.size(q)).sum
+      finally st.close()
+    } else java.nio.file.Files.size(p)
   }
 
-  private def runToMemory(df: DataFrame, mode: String, parts: Int = 8): String = {
+  private def partsFor(d: String, table: String): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse {
+      // ~6 MB of snappy parquet per partition: on-disk bytes understate
+      // in-memory row volume ~8-10×, so the earlier 24 MB/partition
+      // target still landed every test corpus at the 8-partition clamp
+      // (87 MB at the 100× point → 8) and the dial never engaged.
+      math.min(32, math.max(8, (bytesFor(d, table) / (6L << 20)).toInt))
+    }
+
+  /** Per-trigger admission bound: a single source file larger than this
+    * is re-staged into `ceil(bytes / paceBytes)` time-ordered chunks and
+    * drained one chunk per micro-batch. System property first so specs
+    * can dial it; env for scale runs.
+    */
+  private def paceBytes: Long =
+    sys.props.get("graft.stream.paceBytes")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_PACE_BYTES"))
+      .map(_.toLong).getOrElse(32L << 20)
+
+  /** State-store choice for one streaming run. The default
+    * HDFSBackedStateStoreProvider keeps every state version ON HEAP —
+    * fine for test-SF state, fatal at the 100× point where ~10 M
+    * session/key entries put the JVM into permanent GC (measured: 22 GC
+    * threads × 5+ min CPU each, query never finishing). Past the pacing
+    * threshold we switch the run to RocksDB, which holds state off-heap
+    * with an LRU block cache; at small SFs the in-memory provider stays
+    * (RocksDB's per-batch open/commit overhead loses there — A/B'd in
+    * round 1). `graft.stream.stateStore` / SPARK_GRAFT_STATE_STORE =
+    * `rocksdb` | `memory` forces either.
+    */
+  private def useRocksDb(d: String, table: String): Boolean =
+    sys.props.get("graft.stream.stateStore")
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_STORE")) match {
+      case Some("rocksdb") => true
+      case Some(_)         => false
+      case None            => bytesFor(d, table) > paceBytes
+    }
+
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  private def runToMemory(df: DataFrame, mode: String, parts: Int = 8,
+                          rocksdb: Boolean = false): String = {
     val name = "graft_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // Stateful operators pay a fixed per-partition-per-batch state-store
     // cost (open/commit/snapshot), so micro-batches want FAR fewer
@@ -121,7 +201,9 @@ object StreamOps {
     // this query's start.
     val s = df.sparkSession
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProv = s.conf.getOption(ProviderKey)
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    if (rocksdb) s.conf.set(ProviderKey, RocksDbProvider)
     try {
       df.writeStream
         .format("memory")
@@ -130,7 +212,13 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .start()
         .awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      if (rocksdb) prevProv match {
+        case Some(v) => s.conf.set(ProviderKey, v)
+        case None    => s.conf.unset(ProviderKey)
+      }
+    }
     name
   }
 
@@ -142,7 +230,7 @@ object StreamOps {
     val agg = eventsStream(s, d)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .count()
-    val name = runToMemory(agg, "complete", partsFor(d, "events"))
+    val name = runToMemory(agg, "complete", partsFor(d, "events"), useRocksDb(d, "events"))
     s.table(name)
       .select(col("window.start").as("window_start"), col("event_type"),
         col("count").as("n"))
@@ -158,7 +246,7 @@ object StreamOps {
     val distinctPairs = eventsStream(s, d)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-    val name = runToMemory(distinctPairs, "append", partsFor(d, "events"))
+    val name = runToMemory(distinctPairs, "append", partsFor(d, "events"), useRocksDb(d, "events"))
     s.table(name).orderBy("user_id", "event_type")
   }
 
@@ -176,7 +264,7 @@ object StreamOps {
       .withWatermark("wts", "24 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    val name = runToMemory(deduped, "append", partsFor(d, "events"))
+    val name = runToMemory(deduped, "append", partsFor(d, "events"), useRocksDb(d, "events"))
     s.table(name).orderBy("user_id", "event_type")
   }
 
@@ -188,7 +276,7 @@ object StreamOps {
     val agg = eventsStream(s, d)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .count()
-    val name = runToMemory(agg, "complete", partsFor(d, "events"))
+    val name = runToMemory(agg, "complete", partsFor(d, "events"), useRocksDb(d, "events"))
     s.table(name)
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("count").as("n_events"))
@@ -203,7 +291,7 @@ object StreamOps {
     val agg = eventsStream(s, d)
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
       .count()
-    val name = runToMemory(agg, "complete", partsFor(d, "events"))
+    val name = runToMemory(agg, "complete", partsFor(d, "events"), useRocksDb(d, "events"))
     s.table(name)
       .select(col("window.start").as("window_start"), col("event_type"),
         col("count").as("n"))
@@ -220,7 +308,7 @@ object StreamOps {
       .join(dim, col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .count()
-    val name = runToMemory(agg, "complete", partsFor(d, "events"))
+    val name = runToMemory(agg, "complete", partsFor(d, "events"), useRocksDb(d, "events"))
     s.table(name)
       .select(col("c_mktsegment"), col("count").as("n"))
       .orderBy("c_mktsegment")
@@ -248,7 +336,7 @@ object StreamOps {
       col("c_ts") < col("p_ts"))
     val name = runToMemory(
       joined.select(col("p_id"), col("c_ts").cast("timestamp_ntz").as("c_ts")), "append",
-      partsFor(d, "events"))
+      partsFor(d, "events"), useRocksDb(d, "events"))
     s.table(name).orderBy("p_id", "c_ts")
   }
 
@@ -287,7 +375,7 @@ object StreamOps {
     // it never emits on a drained static source); the oracle therefore
     // covers the CLOSED sessions, i.e. all but the last per user.
     val name = runToMemory(out.toDF("user_id", "start_us", "n_events"), "append",
-      partsFor(d, "events"))
+      partsFor(d, "events"), useRocksDb(d, "events"))
     s.table(name)
       .select(col("user_id"),
         timestamp_micros(col("start_us")).cast("timestamp_ntz").as("session_start"),
@@ -314,7 +402,7 @@ object StreamOps {
           (user, total)
       }
       .toDF("user_id", "n")
-    val name = runToMemory(updated, "update", partsFor(d, "events"))
+    val name = runToMemory(updated, "update", partsFor(d, "events"), useRocksDb(d, "events"))
     // one input file → one micro-batch → the last (only) emission per key
     // is the final total
     s.table(name).groupBy(col("user_id")).agg(max(col("n")).as("n"))

@@ -1,0 +1,99 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.DataFrame
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Trigger pacing and the state-store dial (the 100×-point fixes).
+  *
+  * The single-batch form of every stateful streaming query is
+  * DuckDB-oracle-checked by the driver; these tests assert the paced
+  * (multi-micro-batch, time-ordered chunk) form produces the identical
+  * result, and that the RocksDB state-store provider — which the engine
+  * switches to past the pacing threshold, where on-heap state thrashes
+  * GC — is result-identical to the in-memory provider.
+  *
+  * sf0.001 `events.parquet` is ~27 KB; a 4 KB pace threshold re-stages
+  * it as ~7 time-ordered chunk files, one micro-batch each.
+  */
+class StreamPacingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import SharedSpark.{spark, sf}
+
+  private def paced[T](stateStore: String = "memory")(body: => T): T = {
+    sys.props("graft.stream.paceBytes") = "4096"
+    sys.props("graft.stream.stateStore") = stateStore
+    try body
+    finally {
+      sys.props.remove("graft.stream.paceBytes")
+      sys.props.remove("graft.stream.stateStore")
+    }
+  }
+
+  private def assertSame(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).count() === 0L)
+    assert(b.exceptAll(a).count() === 0L)
+  }
+
+  test("session windows merge identically across micro-batch boundaries") {
+    assertSame(StreamOps.sessionWindows(spark, sf),
+      paced()(StreamOps.sessionWindows(spark, sf)))
+  }
+
+  test("flatMapGroupsWithState sessions survive time-ordered pacing") {
+    // the one query whose custom state REQUIRES time-ordered arrival:
+    // closed sessions emit per batch, the open one rides in state
+    assertSame(StreamOps.statefulSessions(spark, sf),
+      paced()(StreamOps.statefulSessions(spark, sf)))
+  }
+
+  test("watermarked dedup: exact key set; re-emissions only past the horizon") {
+    // dropDuplicatesWithinWatermark is NOT batch-boundary-invariant by
+    // design: once the watermark really advances between chunks, a
+    // repeat >24 h after its predecessor re-emits (state was evicted) —
+    // that IS the bounded-state semantic. What must hold under
+    // time-ordered pacing: (a) the emitted key set equals batch
+    // distinct; (b) a repeat within 24 h of a prior occurrence is
+    // always suppressed — watermark = maxTs(earlier chunks) − 24 h
+    // stays below the key's expiry — so emissions per key never exceed
+    // the key's 24 h-gap cluster count.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val out = paced()(StreamOps.streamDedupWatermarked(spark, sf))
+    val batchKeys = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct()
+    val outKeys = out.select("user_id", "event_type").distinct()
+    assert(outKeys.count() === batchKeys.count())
+    assert(outKeys.exceptAll(batchKeys).count() === 0L)
+    val w = Window.partitionBy("user_id", "event_type").orderBy("tss")
+    val clusters = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts").cast("timestamp")).as("tss"))
+      .withColumn("gap", when(
+        col("tss") - lag("tss", 1).over(w) > 24L * 3600, 1).otherwise(0))
+      .groupBy("user_id", "event_type")
+      .agg((sum("gap") + 1).as("n_clusters"))
+    val emissions = out.groupBy("user_id", "event_type").count()
+    assert(emissions.join(clusters, Seq("user_id", "event_type"))
+      .filter(col("count") > col("n_clusters")).count() === 0L)
+  }
+
+  test("update-mode stateful counts accumulate to the same totals") {
+    assertSame(StreamOps.statefulCounts(spark, sf),
+      paced()(StreamOps.statefulCounts(spark, sf)))
+  }
+
+  test("stream-stream join is complete under pacing, on both providers") {
+    // watermark delay (2 h) exceeds join window (1 h) + cross-chunk
+    // disorder (0, chunks are time-ordered) → no early eviction
+    val one = StreamOps.streamStreamJoin(spark, sf)
+    assertSame(one, paced()(StreamOps.streamStreamJoin(spark, sf)))
+    assertSame(one, paced("rocksdb")(StreamOps.streamStreamJoin(spark, sf)))
+  }
+
+  test("rocksdb provider: paced session windows identical to in-memory") {
+    assertSame(StreamOps.sessionWindows(spark, sf),
+      paced("rocksdb")(StreamOps.sessionWindows(spark, sf)))
+  }
+}
