@@ -36,46 +36,137 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     copy(child = newChild)
 }
 
-case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-                          rankAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
-  override def output: Seq[Attribute] = child.output :+ rankAttr
-  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+/** Bounded best-k buffer: a manual binary max-heap over the comparator
+  * (root = WORST kept row), `Array[InternalRow]`-backed. For the small k
+  * typical of top-k this beats `PriorityQueue` on allocation (no
+  * resizing, no boxing of the size/ordering machinery) and `drain()`
+  * emits best-first without an intermediate `dequeueAll.reverse`.
+  */
+private final class BoundedTopK(k: Int, cmp: Ordering[InternalRow]) {
+  private val a = new Array[InternalRow](k)
+  private var n = 0
+  def worst: InternalRow = a(0)
+  def size: Int = n
+  /** true ⇢ caller must pass an owned (copied) row */
+  def wouldAccept(row: InternalRow): Boolean =
+    n < k || cmp.compare(row, a(0)) < 0
+  def insert(owned: InternalRow): Unit = {
+    if (n < k) { // sift up
+      var i = n; a(i) = owned; n += 1
+      while (i > 0 && cmp.compare(a((i - 1) / 2), a(i)) < 0) {
+        val p = (i - 1) / 2; val t = a(p); a(p) = a(i); a(i) = t; i = p
+      }
+    } else { // replace root, sift down
+      a(0) = owned
+      var i = 0
+      var go = true
+      while (go) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < n && cmp.compare(a(l), a(m)) > 0) m = l
+        if (r < n && cmp.compare(a(r), a(m)) > 0) m = r
+        if (m == i) go = false
+        else { val t = a(m); a(m) = a(i); a(i) = t; i = m }
+      }
+    }
+  }
+  /** Rows best-first (heap-sort in place; buffer is consumed). */
+  def drain(): Array[InternalRow] = {
+    val out = new Array[InternalRow](n)
+    var i = n - 1
+    while (i >= 0) { // repeatedly pop the worst to the back
+      out(i) = a(0); n -= 1
+      a(0) = a(n)
+      var j = 0; var go = true
+      while (go) {
+        val l = 2 * j + 1; val r = l + 1
+        var m = j
+        if (l < n && cmp.compare(a(l), a(m)) > 0) m = l
+        if (r < n && cmp.compare(a(r), a(m)) > 0) m = r
+        if (m == j) go = false
+        else { val t = a(m); a(m) = a(j); a(j) = t; j = m }
+      }
+      i -= 1
+    }
+    out
+  }
+}
 
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+                          rankAttr: Attribute, partial: Boolean,
+                          child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    if (partial) org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
+    else org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+
+  // Partial runs on the child's own partitioning (map-side, pre-shuffle);
+  // only the final pass demands co-location by key, so EnsureRequirements
+  // plans the one hash exchange between the two — and that exchange now
+  // carries at most k rows per (key, map partition) instead of the
+  // child's full output. Same shape as partial/final hash aggregation.
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val ks = keys
     val ord = order
     val kk = k
+    val isPartial = partial
     child.execute().mapPartitions ({ iter =>
       val keyProj = UnsafeProjection.create(ks, childOutput)
-      // codegen'd comparator over the sort order; heap max = worst row
+      // codegen'd comparator over the sort order; heap root = worst row
       val cmp = GenerateOrdering.generate(ord, childOutput)
-      val heaps = scala.collection.mutable.HashMap.empty[
-        UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      val heaps = new java.util.HashMap[UnsafeRow, BoundedTopK]
       iter.foreach { row =>
-        // heap max (head) under cmp = the WORST row currently kept
-        val heap = heaps.getOrElseUpdate(
-          keyProj(row).copy(),
-          scala.collection.mutable.PriorityQueue.empty[InternalRow](cmp))
-        if (heap.size < kk) {
-          heap.enqueue(row.copy())
-        } else if (cmp.compare(row, heap.head) < 0) { // better than the worst kept
-          heap.dequeue()
-          heap.enqueue(row.copy())
+        // Probe with the projection's REUSED buffer (UnsafeRow hash/eq
+        // are byte-wise); copy the key only on first sight, and the row
+        // only when it is actually kept — the common path allocates
+        // nothing.
+        val probe = keyProj(row)
+        var heap = heaps.get(probe)
+        if (heap == null) {
+          heap = new BoundedTopK(kk, cmp)
+          heaps.put(probe.copy(), heap)
         }
+        if (heap.wouldAccept(row)) heap.insert(row.copy())
       }
-      val outAttrs = childOutput :+ rankAttr
-      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
-      val joined = new JoinedRow
-      heaps.iterator.flatMap { case (_, heap) =>
-        // dequeueAll yields worst-first; reverse → best-first for ranking
-        val best: Seq[InternalRow] = heap.dequeueAll.reverse.toSeq
-        best.iterator.zipWithIndex.map { case (row, i) =>
-          outProj(joined(row, new GenericInternalRow(Array[Any](i + 1L))))
+      val it = heaps.values().iterator()
+      if (isPartial) {
+        new Iterator[InternalRow] {
+          private var cur: Array[InternalRow] = _
+          private var i = 0
+          def hasNext: Boolean = {
+            while ((cur == null || i >= cur.length) && it.hasNext) {
+              cur = it.next().drain(); i = 0
+            }
+            cur != null && i < cur.length
+          }
+          def next(): InternalRow = { val r = cur(i); i += 1; r }
+        }
+      } else {
+        val outAttrs = childOutput :+ rankAttr
+        val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new JoinedRow
+        val rankRow = new GenericInternalRow(1)
+        new Iterator[InternalRow] {
+          private var cur: Array[InternalRow] = _
+          private var i = 0
+          def hasNext: Boolean = {
+            while ((cur == null || i >= cur.length) && it.hasNext) {
+              cur = it.next().drain(); i = 0
+            }
+            cur != null && i < cur.length
+          }
+          def next(): InternalRow = {
+            rankRow.update(0, (i + 1).toLong)
+            val r = outProj(joined(cur(i), rankRow))
+            i += 1
+            r
+          }
         }
       }
     }, preservesPartitioning = true)
@@ -88,7 +179,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: TopKPerKeyNode =>
-      TopKPerKeyExec(n.keys, n.order, n.k, n.rankAttr, planLater(n.child)) :: Nil
+      // final-over-partial: the partial pass bounds what reaches the
+      // exchange; the final pass (with the rank column) runs post-shuffle
+      TopKPerKeyExec(n.keys, n.order, n.k, n.rankAttr, partial = false,
+        TopKPerKeyExec(n.keys, n.order, n.k, n.rankAttr, partial = true,
+          planLater(n.child))) :: Nil
     case _ => Nil
   }
 }
