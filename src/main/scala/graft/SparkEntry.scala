@@ -77,6 +77,9 @@ object SparkEntry {
     "q46_bigram_lm"          -> ((s, d) => CorpusOps.bigramCounts(s, d)),
     "q47_pack_sequences"     -> ((s, d) => CorpusOps.packSequences(s, d)),
     "q48_source_mix"         -> (CorpusOps.sourceMix _),
+    "q73_vocab_coverage"     -> ((s, d) => CorpusOps.vocabCoverage(s, d)),
+    "q74_novelty"            -> ((s, d) => CorpusOps.novelty(s, d)),
+    "q75_temperature_mix"    -> (CorpusOps.temperatureMix _),
     "q49_repetition"         -> (CorpusOps.repetition _),
     "q59_decontaminate"      -> ((s, d) => CorpusOps.decontaminate(s, d)),
     "q66_top_tokens"         -> ((s, d) => TextAnalysis.topTokens(s, d)),
@@ -514,6 +517,49 @@ object SparkEntry {
         |  round(tokens / CAST(sum(tokens) OVER () AS DOUBLE), 4) AS share,
         |  round(CAST(sum(tokens) OVER () AS DOUBLE) / count(*) OVER () / tokens, 4) AS up_weight
         |FROM src ORDER BY source""".stripMargin,
+    "q73_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text,' ')) AS t FROM documents),
+        |counts AS (SELECT t, count(*) AS n FROM tok WHERE len(t) > 0 GROUP BY 1),
+        |total AS (SELECT sum(n) AS tot FROM counts),
+        |head AS (SELECT t, n FROM counts ORDER BY n DESC, t LIMIT 10000),
+        |ranked AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, t) AS BIGINT) AS rn,
+        |                  sum(n) OVER (ORDER BY n DESC, t ROWS UNBOUNDED PRECEDING) AS cum
+        |           FROM head)
+        |SELECT pct, rn AS vocab_size, CAST(cum AS BIGINT) AS covered,
+        |       round(CAST(cum AS DOUBLE)/tot, 4) AS coverage
+        |FROM (SELECT unnest(CAST([50,90,95,99] AS BIGINT[])) AS pct) th, total, ranked
+        |WHERE cum * 100 >= pct * tot
+        |QUALIFY row_number() OVER (PARTITION BY pct ORDER BY rn) = 1
+        |ORDER BY pct""".stripMargin,
+    "q74_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+        |               unnest(range(len(string_split(text,' ')))) AS pos FROM documents)
+        |  WHERE len(t) > 0),
+        |bi AS (SELECT a.doc_id, a.t || ' ' || b.t AS g
+        |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+        |freq AS (SELECT g, count(*) AS cnt FROM bi GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |       CAST(floor(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) * 1000.0 / count(*)) AS BIGINT) AS rare_pm
+        |FROM bi JOIN freq USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q75_temperature_mix" ->
+      """WITH src AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |q AS (SELECT source, tokens,
+        |        CAST(round(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS sq
+        |      FROM src)
+        |SELECT source, tokens,
+        |  round(CAST(tokens AS DOUBLE) / CAST(sum(tokens) OVER () AS DOUBLE), 4) AS share,
+        |  round(CAST(sq AS DOUBLE) / CAST(sum(sq) OVER () AS DOUBLE), 4) AS temp_weight,
+        |  CAST(floor(CAST(sq AS DOUBLE) * CAST(sum(tokens) OVER () AS DOUBLE)
+        |             / CAST(sum(sq) OVER () AS DOUBLE)) AS BIGINT) AS expected_tokens
+        |FROM q ORDER BY source""".stripMargin,
     "q49_repetition" ->
       """WITH tok AS (
         |  SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn

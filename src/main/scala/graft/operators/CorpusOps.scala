@@ -202,6 +202,95 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary coverage curve: for each coverage target (50/90/95/99 %
+    * of token OCCURRENCES), the smallest frequency-ranked vocabulary that
+    * reaches it — the statistic that sizes a tokenizer's vocab against a
+    * corpus. The full token-count table is corpus-vocabulary-sized, so
+    * the cumulative window runs only over the top-`headN` head (a
+    * TakeOrdered, never a global sort): coverage targets ≤99 % live in
+    * the head by Zipf, while the long tail contributes only to the exact
+    * `total`, which is a plain aggregate. Threshold comparisons are pure
+    * integer (`100·cum ≥ pct·total`) — no float boundary to disagree on.
+    */
+  def vocabCoverage(s: SparkSession, d: String, headN: Int = 10000): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("tot"))
+    val rankW = Window.orderBy(col("n").desc, col("t"))
+    val head = counts.orderBy(col("n").desc, col("t")).limit(headN)
+      .withColumn("rn", row_number().over(rankW).cast("long"))
+      .withColumn("cum", sum(col("n")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val pcts = Seq(50, 90, 95, 99)
+    val firstHit = Window.partitionBy(col("pct")).orderBy(col("rn"))
+    head.crossJoin(total)
+      .crossJoin(s.range(1).select(
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct")))
+      .filter(col("cum") * 100 >= col("pct") * col("tot"))
+      .withColumn("hit", row_number().over(firstHit))
+      .filter(col("hit") === 1)
+      .select(col("pct"), col("rn").as("vocab_size"), col("cum").as("covered"),
+        round(col("cum").cast("double") / col("tot"), 4).as("coverage"))
+      .orderBy("pct")
+  }
+
+  /** Rare-bigram novelty score: per document, the share of its adjacent
+    * token pairs whose CORPUS-wide frequency is ≤ `rareMax` — high-share
+    * documents are novel (or noise), low-share ones formulaic; both tails
+    * are standard training-mix filters. Per-mille is floored from exact
+    * integer counts, so the score is engine-exact. Shape: one bigram
+    * stream (hashes only — strings never shuffle), one hash-agg for the
+    * frequency table, one shuffle join back on the hash, one per-doc agg;
+    * everything partial-aggregates map-side.
+    */
+  def novelty(s: SparkSession, d: String, rareMax: Long = 2): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .filter(length(col("t")) > 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = tok
+      .select(col("doc_id"), col("t"), lead(col("t"), 1).over(w).as("t1"))
+      .filter(col("t1").isNotNull)
+      .select(col("doc_id"), xxhash64(col("t"), col("t1")).as("h"))
+    val freq = bi.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    bi.join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        floor(col("n_rare") * 1000.0 / col("n_bigrams")).as("rare_pm"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-adjusted source mixing (the multilingual/multi-domain
+    * rebalance: sample source i ∝ p_i^τ at τ = 0.5): per-source raw token
+    * share, the √-damped mixture weight, and the expected token budget
+    * under that mixture. √p is computed once per SOURCE (|sources| rows,
+    * post-aggregation), quantized to a 1e-6-grid BIGINT — IEEE sqrt is
+    * exactly rounded in every engine, so the grid values (and therefore
+    * every downstream ratio) are bit-identical cross-engine; the weight
+    * normalization sums those integers exactly.
+    */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.documents(s, d)
+      .select(col("source"), size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tokens"))
+      .withColumn("sq", round(sqrt(col("tokens").cast("double")) * 1e6).cast("long"))
+    val all = Window.partitionBy()
+    agg
+      .withColumn("tot", sum(col("tokens")).over(all))
+      .withColumn("sqtot", sum(col("sq")).over(all))
+      .select(col("source"), col("tokens"),
+        round(col("tokens").cast("double") / col("tot"), 4).as("share"),
+        round(col("sq").cast("double") / col("sqtot"), 4).as("temp_weight"),
+        floor(col("sq").cast("double") * col("tot") / col("sqtot")).as("expected_tokens"))
+      .orderBy("source")
+  }
+
   /** Source mixture report: per-source doc/token counts, token share, and
     * the resampling weight that would flatten the mix to uniform
     * (weight = target-tokens-per-source / actual-tokens). The windows run

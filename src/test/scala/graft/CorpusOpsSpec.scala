@@ -56,6 +56,63 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(1)._4 == 0.0) // all trigrams unique
   }
 
+  test("vocabCoverage: thresholds are met minimally and monotonically") {
+    val out = CorpusOps.vocabCoverage(spark, SharedSpark.sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).sameElements(Array(50L, 90L, 95L, 99L)))
+    // coverage at each row meets its threshold
+    out.foreach { case (pct, _, _, cov) => assert(cov * 100 >= pct - 0.01) }
+    // vocab sizes and coverage grow with the threshold
+    assert(out.map(_._2).sameElements(out.map(_._2).sorted))
+    // minimality: one fewer token drops below the threshold (recompute
+    // cumulative sums directly)
+    val counts = spark.read.parquet(s"${SharedSpark.sf}/documents.parquet")
+      .select(explode(split($"text", " ")).as("t")).filter(length($"t") > 0)
+      .groupBy("t").count().as[(String, Long)].collect()
+      .sortBy { case (t, n) => (-n, t) }.map(_._2)
+    val total = counts.sum
+    val cum = counts.scanLeft(0L)(_ + _).drop(1)
+    out.foreach { case (pct, vs, covered, _) =>
+      assert(cum(vs.toInt - 1) == covered)
+      assert(cum(vs.toInt - 1) * 100 >= pct * total)
+      if (vs > 1) assert(cum(vs.toInt - 2) * 100 < pct * total)
+    }
+  }
+
+  test("novelty: rare share is exact on a constructed corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nov_").toString
+    // "a b" appears 3x (common at rareMax=2 means cnt<=2 → 3x is NOT rare);
+    // "b z" / "z q" appear once each (rare)
+    Seq(
+      (1L, "a b z q", "en", "s", 1),   // bigrams: a-b, b-z, z-q → 1 common, 2 rare
+      (2L, "a b", "en", "s", 1),       // a-b → common
+      (3L, "a b", "en", "s", 1)        // a-b → common
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.novelty(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 3L, 2L, 666L)))  // 2/3 rare → floor(666.6)
+    assert(out(1) == ((2L, 1L, 0L, 0L)))
+    assert(out(2) == ((3L, 1L, 0L, 0L)))
+  }
+
+  test("temperatureMix: weights are sqrt-damped and normalized") {
+    val out = CorpusOps.temperatureMix(spark, SharedSpark.sf)
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(math.abs(out.map(_._3).sum - 1.0) < 0.01)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 0.01)
+    // damping: every below-average source gains weight, above-average loses
+    val meanShare = 1.0 / out.length
+    out.foreach { case (_, _, share, w, _) =>
+      if (share < meanShare * 0.9) assert(w > share)
+      if (share > meanShare * 1.1) assert(w < share)
+    }
+    // expected tokens preserve the total (up to per-source floor loss)
+    val total = out.map(_._2).sum
+    val expected = out.map(_._5).sum
+    assert(expected <= total && expected > total - out.length)
+  }
+
   test("decontaminate: flags only docs overlapping the benchmark slice") {
     val flagged = CorpusOps.decontaminate(spark, SharedSpark.sf)
       .as[(Long, Long)].collect()
