@@ -108,6 +108,12 @@ object SparkEntry {
     // (bucketing, probe-set expansion, probe scoring)
     "q61b_knn_ivf_full"      -> ((s, d) => Similarity.knnLshIndexed(s, d, probeRadius = 8)
                                     .select("vec_id", "sim")),
+    // true IVF (k-means-trained codebook) — nprobe=2 of 8 cells is the
+    // approximate scale path (rows-only; recall vs exhaustive in spec)
+    "q76_knn_ivf_kmeans"     -> ((s, d) => Similarity.knnIvfKmeans(s, d)),
+    // all-cells probe ≡ exhaustive: oracle bridge for training +
+    // assignment + probe selection + scoring (the q61b pattern)
+    "q76b_knn_ivf_kmeans_full" -> ((s, d) => Similarity.knnIvfKmeans(s, d, nprobe = 8)),
     "q62_embedding_centroids" -> (Similarity.centroids _),
     "q68_quantize_embeddings" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "q63_kmeans"             -> ((s, d) => Similarity.kmeans(s, d)),
@@ -790,6 +796,11 @@ object SparkEntry {
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     // radius-8 probe set covers all 2^8 buckets → identical to exhaustive
     "q61b_knn_ivf_full" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(list_cosine_similarity(embedding, qv),4) AS sim
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q76b_knn_ivf_kmeans_full" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(list_cosine_similarity(embedding, qv),4) AS sim
         |FROM embeddings, q WHERE vec_id <> 0

@@ -89,6 +89,18 @@ object Similarity {
     import s.implicits._
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       .localCheckpoint(true) // scanned once per iteration; truncate lineage
+    val (_, results) = lloydIterations(e, k, iters)
+    results
+      .toDF("iter", "cluster", "n", "inertia")
+      .select(col("iter"), col("cluster"), col("n"), round(col("inertia"), 4).as("inertia"))
+      .orderBy("iter", "cluster")
+  }
+
+  /** Shared Lloyd loop (see [[kmeans]] for the shape and exactness notes):
+    * returns the final codebook and the per-iteration per-cluster stats.
+    */
+  private def lloydIterations(e: org.apache.spark.sql.DataFrame, k: Int, iters: Int)
+      : (Array[Array[Double]], Seq[(Int, Int, Long, Double)]) = {
     var centroids: Array[Array[Double]] = e
       .filter(col("vec_id") < k).orderBy("vec_id")
       .collect()
@@ -135,10 +147,7 @@ object Similarity {
         }
       }.toArray
     }
-    results.toSeq
-      .toDF("iter", "cluster", "n", "inertia")
-      .select(col("iter"), col("cluster"), col("n"), round(col("inertia"), 4).as("inertia"))
-      .orderBy("iter", "cluster")
+    (centroids, results.toSeq)
   }
 
   /** Symmetric int8 quantization of the embedding column — the storage/
@@ -244,6 +253,65 @@ object Similarity {
     val qRow = idx.filter(col("vec_id") === queryId)
       .select("embedding", "bucket").head()
     scoreProbes(idx, qRow.getSeq[Float](0), qRow.getInt(1), queryId, k, probeRadius)
+  }
+
+  /** One trained codebook per (dir, cells, iters) per JVM — like
+    * [[indexDirs]], the local analog of the offline-trained IVF codebook
+    * a deployment stores next to its vector index.
+    */
+  private val codebooks = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int), Array[Array[Double]]]
+
+  /** True IVF ANN: a k-means-trained codebook (not random hyperplanes)
+    * partitions the corpus into cells; a query ranks the CENTROIDS
+    * driver-side (cells × dim doubles — a model, not data) and scans only
+    * the `nprobe` nearest cells. Complements [[knnLsh]]: trained cells
+    * adapt to the data distribution, so recall per scanned-fraction is
+    * higher than data-oblivious hyperplane buckets; the trade is the
+    * offline training pass. `nprobe = cells` scans everything ≡ exhaustive
+    * — the oracle-checked bridge for the whole path (training, cell
+    * assignment, probe selection, scoring), exactly as q61b bridges the
+    * LSH variant. Cell assignment is the same k codegen'd dot products
+    * per row as [[kmeans]] assignment; per-probe-row cost is one dot.
+    * At scale the assigned cell becomes a partition column exactly like
+    * [[buildBucketedIndex]] — the probe set then prunes at file listing.
+    */
+  def knnIvfKmeans(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
+                   nprobe: Int = 2, cells: Int = 8, iters: Int = 3): DataFrame = {
+    GraftFunctions.register(s)
+    val codebook = codebooks.getOrElseUpdate((d, cells, iters), {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      lloydIterations(e, cells, iters)._1
+    })
+    val e = Tables.embeddings(s, d)
+    val qVec = e.filter(col("vec_id") === queryId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    // rank cells by centroid distance to the query — a driver-side loop
+    // over the MODEL (cells × dim), not over data
+    val probes = codebook.zipWithIndex
+      .map { case (c, j) =>
+        (c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+      }
+      .sortBy { case (dist, j) => (dist, j) }
+      .take(nprobe).map(_._2)
+    // same argmin-by-(-2x·c + ||c||²) assignment expression as kmeans
+    val scores = codebook.zipWithIndex.map { case (c, j) =>
+      val cLit = array(c.map(lit): _*)
+      val c2 = c.map(x => x * x).sum
+      (GraftFunctions.dot(col("embedding"), cLit) * -2.0 + c2).as(s"s$j")
+    }
+    val sArr = array((0 until cells).map(j => col(s"s$j")): _*)
+    val qv = array(qVec.map(lit): _*)
+    val qn = math.sqrt(qVec.map(x => x * x).sum)
+    e.select(col("vec_id") +: col("embedding") +: scores: _*)
+      .withColumn("cell", (array_position(sArr, array_min(sArr)) - 1).cast("int"))
+      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(
+        GraftFunctions.dot(col("embedding"), qv) /
+          (GraftFunctions.norm(col("embedding")) * lit(qn)), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** Shared probe-scoring tail: filter to probe buckets, one codegen'd

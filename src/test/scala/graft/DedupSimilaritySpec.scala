@@ -181,6 +181,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(selected <= 9, s"radius-1 probe should read <= 9 partitions, read $selected")
   }
 
+  test("knnIvfKmeans: full probe = exhaustive; nprobe recall monotone and useful") {
+    val brute = Similarity.knnBrute(spark, sf, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // all-cells probe ≡ exhaustive, including exact similarities
+    val full = Similarity.knnIvfKmeans(spark, sf, 0L, 10, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === brute)
+    // recall@10 grows with nprobe; even 2/8 trained cells recall most
+    val bruteIds = brute.map(_._1).toSet
+    val recallAt = Seq(1, 2, 4, 8).map { np =>
+      val got = Similarity.knnIvfKmeans(spark, sf, 0L, 10, nprobe = np).collect()
+        .map(_.getLong(0)).toSet
+      (bruteIds intersect got).size
+    }
+    assert(recallAt == recallAt.sorted, s"recall not monotone in nprobe: $recallAt")
+    assert(recallAt(1) >= 5, s"nprobe=2 recall@10 too low: ${recallAt(1)}")
+  }
+
   test("multi-probe: recall@10 is monotone in probe radius, radius 8 = exhaustive") {
     val brute = Similarity.knnBrute(spark, sf, 0L, 10).collect()
       .map(_.getLong(0)).toSet
