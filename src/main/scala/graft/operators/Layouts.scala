@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout utilities for 100 TB operation.
@@ -53,6 +53,37 @@ object Layouts {
       .filter(col(tsCol) >= lit(from) && col(tsCol) < lit(to))
       .drop("p_month")
   }
+
+  /** Morton/Z-order value of two bounded non-negative integer columns:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Rows close
+    * in (a, b) space get close z-values, so sorting by z clusters every
+    * 2-D box into few contiguous runs — a pure bitwise codegen
+    * expression, no UDF.
+    */
+  def zvalue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Write `df` Z-ordered on two numeric columns: range-partition by the
+    * interleaved z-value, sort within partitions, keep `_z` as a written
+    * column (one long) so the layout is self-describing. The point at
+    * 100 TB: a predicate restricting BOTH dimensions touches only the
+    * files (and row groups — parquet min/max stats on the two columns
+    * stay tight because the data is locally clustered) whose z-range
+    * intersects the query box, where a single-column sort only prunes
+    * its own dimension and scans every file for the other. This is the
+    * multi-dimensional analog of [[writeTimePartitioned]]: layout work
+    * done once at write time that every subsequent selective scan rides.
+    */
+  def writeZOrdered(df: DataFrame, dir: String, ca: String, cb: String,
+                    files: Int, bits: Int = 16): Unit =
+    df.withColumn("_z", zvalue(col(ca).cast("long"), col(cb).cast("long"), bits))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .write.mode("overwrite").parquet(dir)
 
   /** Small-file compaction: rewrite a parquet directory into files of
     * ~`targetBytes` each (from the CURRENT on-disk size — post-encoding,

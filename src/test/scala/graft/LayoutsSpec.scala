@@ -63,6 +63,32 @@ class LayoutsSpec extends AnyFunSuite {
       s"month range should prune: read $selected of $total partitions")
   }
 
+  test("z-order: a 2-D box query touches fewer files than a 1-D sort layout") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_z_").toString
+    // deterministic uniform 2-D points on a 1024x1024 grid
+    val pts = spark.range(100000).select(
+      col("id"),
+      pmod(xxhash64(col("id")), lit(1024L)).as("x"),
+      pmod(xxhash64(col("id"), lit(7L)), lit(1024L)).as("y"))
+    // 1-D layout: range-partitioned + sorted on x only
+    pts.repartitionByRange(32, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$base/linear")
+    graft.operators.Layouts.writeZOrdered(pts, s"$base/zorder", "x", "y", files = 32)
+    def filesTouched(dir: String): (Long, Long) = {
+      val hit = spark.read.parquet(dir)
+        .filter(col("x") < 104 && col("y") < 104) // ~1% box
+      (hit.select(countDistinct(col("_metadata.file_path"))).head().getLong(0),
+        hit.count())
+    }
+    val (zFiles, zRows) = filesTouched(s"$base/zorder")
+    val (linFiles, linRows) = filesTouched(s"$base/linear")
+    assert(zRows == linRows, "layouts must return identical boxes")
+    // x-sorted layout confines the box to ~10% of x-range files but every
+    // one of them contains all y values; z-order confines both dimensions
+    assert(zFiles < linFiles, s"z=$zFiles files vs linear=$linFiles")
+  }
+
   test("compact: many small files become few target-sized files, data intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString + "/t"
     val src = spark.read.parquet(s"${SharedSpark.sf}/lineitem.parquet")
