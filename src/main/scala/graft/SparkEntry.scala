@@ -83,6 +83,9 @@ object SparkEntry {
     "q49_repetition"         -> (CorpusOps.repetition _),
     "q59_decontaminate"      -> ((s, d) => CorpusOps.decontaminate(s, d)),
     "q66_top_tokens"         -> ((s, d) => TextAnalysis.topTokens(s, d)),
+    // BPE merge training: data-dependent per-iteration argmax → no static
+    // SQL mirror; constructed-corpus merges hand-checked in spec
+    "q77_bpe_merges"         -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "q67_sample_corpus"      -> ((s, d) => CorpusOps.sampleCorpus(s, d)),
     "q69_substring_dedup"    -> ((s, d) => CorpusOps.duplicateSpans(s, d)),
     // Bloom pre-filter + exact confirmation ≡ q59 — checked by the SAME oracle

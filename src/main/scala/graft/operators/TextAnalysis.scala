@@ -142,4 +142,63 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("df"))
       .orderBy(col("n").desc, col("token"))
       .limit(topN)
+
+  /** BPE tokenizer training (the first `k` merges): the classic algorithm
+    * runs on the DISTINCT-WORD frequency table, never the corpus — one
+    * corpus scan builds (word, count), and every merge iteration is an
+    * adjacent-symbol-pair count over that vocabulary-sized table (Zipf:
+    * MBs even for a 100 TB corpus) + one driver-side argmax (count desc,
+    * pair asc — the deterministic tie-break) + a row-local greedy
+    * left-to-right merge fold over each word's symbol array. Output is
+    * the merge table (iter, p1, p2, weight) a tokenizer would persist.
+    *
+    * No SQL oracle (each iteration's argmax is data-dependent, so a
+    * static mirror can't name the merged pair); the spec hand-computes
+    * merges on a constructed corpus instead.
+    */
+  def bpeMerges(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    var words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(filter(split(col("w"), ""), x => length(x) > 0).as("sym"), col("cnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (it <- 1 to k if !exhausted) {
+      val zw = zip_with(
+        slice(col("sym"), lit(1), size(col("sym")) - 1),
+        slice(col("sym"), lit(2), size(col("sym")) - 1),
+        (x, y) => struct(x.as("p1"), y.as("p2")))
+      val top = words
+        .select(col("cnt"), explode(zw).as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("p1"), col("p2"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (w1, w2, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((it, w1, w2, n))
+        // greedy left-to-right non-overlapping merge: fold carrying the
+        // previous uncommitted symbol ("a a a" merges the FIRST two)
+        val init = struct(
+          lit(Array.empty[String]).cast(ArrayType(StringType)).as("out"),
+          lit(null).cast(StringType).as("p"))
+        val commitP = (acc: Column) =>
+          when(acc.getField("p").isNull, acc.getField("out"))
+            .otherwise(concat(acc.getField("out"), array(acc.getField("p"))))
+        val mergedSym = aggregate(col("sym"), init,
+          (acc, t) => when(acc.getField("p") === w1 && t === w2,
+              struct(concat(acc.getField("out"), array(lit(w1 + w2))).as("out"),
+                lit(null).cast(StringType).as("p")))
+            .otherwise(struct(commitP(acc).as("out"), t.as("p"))),
+          acc => commitP(acc))
+        words = words.select(mergedSym.as("sym"), col("cnt")).localCheckpoint(true)
+      }
+    }
+    merges.toSeq.toDF("iter", "p1", "p2", "n").orderBy("iter")
+  }
 }

@@ -73,6 +73,34 @@ class CorpusExtrasSpec extends AnyFunSuite {
     assert(byId(2L)._4 == "totally unique document with no repeats at all")
   }
 
+  test("bpeMerges: hand-computed merge sequence on a constructed corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_").toString
+    // words: aaab x2, aab x1
+    // pairs: (a,a) 2*2+1=5, (a,b) 2+1=3          -> merge1 (a,a) n=5
+    // then aaab=[aa,a,b], aab=[aa,b]
+    // pairs: (aa,a) 2, (a,b) 2, (aa,b) 1; tie -> p1 asc: (a,b) wins
+    //                                            -> merge2 (a,b) n=2
+    // then aaab=[aa,ab], aab=[aa,b]
+    // pairs: (aa,ab) 2, (aa,b) 1                 -> merge3 (aa,ab) n=2
+    Seq((1L, "aaab aaab aab", "en", "s", 1))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.bpeMerges(spark, dir, k = 5)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(out.take(3) == Seq((1, "a", "a", 5L), (2, "a", "b", 2L), (3, "aa", "ab", 2L)))
+    // iteration 4 merges the remaining top pair; corpus exhausts before k=5
+    assert(out.length <= 5 && out.map(_._1) == (1 to out.length))
+  }
+
+  test("bpeMerges: runs on the real corpus, weights positive, vocab grows") {
+    val out = TextAnalysis.bpeMerges(spark, SharedSpark.sf, k = 4)
+      .as[(Int, String, String, Long)].collect()
+    assert(out.length == 4)
+    assert(out.forall(_._4 > 0))
+    // each merged token is the concatenation of its parts (vocab growth)
+    assert(out.forall { case (_, p1, p2, _) => (p1 + p2).nonEmpty })
+  }
+
   test("crossCorpusNearDup: one side in src0-9, other in src10-19; ≡ exhaustive cross-restriction") {
     val out = Dedup.crossCorpusNearDup(spark, SharedSpark.sf).collect()
     val docs = spark.read.parquet(SharedSpark.sf + "/documents.parquet")
