@@ -86,6 +86,9 @@ object SparkEntry {
     // BPE merge training: data-dependent per-iteration argmax → no static
     // SQL mirror; constructed-corpus merges hand-checked in spec
     "q77_bpe_merges"         -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
+    // engine-exact quantized GD (hard sigmoid, integer-grid features) →
+    // the DuckDB mirror replays 3 full iterations bit-for-bit
+    "q78_quality_classifier" -> ((s, d) => QualityModel.train(s, d)),
     "q67_sample_corpus"      -> ((s, d) => CorpusOps.sampleCorpus(s, d)),
     "q69_substring_dedup"    -> ((s, d) => CorpusOps.duplicateSpans(s, d)),
     // Bloom pre-filter + exact confirmation ≡ q59 — checked by the SAME oracle
@@ -569,6 +572,78 @@ object SparkEntry {
         |  CAST(floor(CAST(sq AS DOUBLE) * CAST(sum(tokens) OVER () AS DOUBLE)
         |             / CAST(sum(sq) OVER () AS DOUBLE)) AS BIGINT) AS expected_tokens
         |FROM q ORDER BY source""".stripMargin,
+    "q78_quality_classifier" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    LEAST(CAST(len(toks) AS BIGINT), 1000) AS x1,
+        |    CAST(floor(1000.0 * len(replace(text, ' ', '')) / len(toks)) AS BIGINT) AS x2,
+        |    CAST(floor(1000.0 * len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) / len(toks)) AS BIGINT) AS x3,
+        |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+        |  FROM (SELECT doc_id, source, text,
+        |          list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) > 0),
+        |i1 AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum((500000 - y*1000000) * x1) AS DOUBLE) AS g1,
+        |    CAST(sum((500000 - y*1000000) * x2) AS DOUBLE) AS g2,
+        |    CAST(sum((500000 - y*1000000) * x3) AS DOUBLE) AS g3,
+        |    CAST(sum(500000 - y*1000000) AS DOUBLE) AS gb,
+        |    CAST(sum(CASE WHEN (500000 > 500000) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS ok
+        |  FROM f),
+        |w1 AS (
+        |  SELECT n, ok,
+        |    0 - CAST(floor(g1/(n*16.0)) AS BIGINT) AS w1,
+        |    0 - CAST(floor(g2/(n*16.0)) AS BIGINT) AS w2,
+        |    0 - CAST(floor(g3/(n*16.0)) AS BIGINT) AS w3,
+        |    0 - CAST(floor(gb/(n*16.0)) AS BIGINT) AS b
+        |  FROM i1),
+        |p2 AS (
+        |  SELECT f.*, w1.w1 AS a1, w1.w2 AS a2, w1.w3 AS a3, w1.b AS ab,
+        |    LEAST(1000000, GREATEST(0,
+        |      CAST(floor((w1.w1*x1 + w1.w2*x2 + w1.w3*x3 + w1.b)/4.0) AS BIGINT) + 500000)) AS p
+        |  FROM f, w1),
+        |i2 AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum((p - y*1000000) * x1) AS DOUBLE) AS g1,
+        |    CAST(sum((p - y*1000000) * x2) AS DOUBLE) AS g2,
+        |    CAST(sum((p - y*1000000) * x3) AS DOUBLE) AS g3,
+        |    CAST(sum(p - y*1000000) AS DOUBLE) AS gb,
+        |    CAST(sum(CASE WHEN (p > 500000) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS ok,
+        |    max(a1) AS a1, max(a2) AS a2, max(a3) AS a3, max(ab) AS ab
+        |  FROM p2),
+        |w2 AS (
+        |  SELECT n, ok,
+        |    a1 - CAST(floor(g1/(n*16.0)) AS BIGINT) AS w1,
+        |    a2 - CAST(floor(g2/(n*16.0)) AS BIGINT) AS w2,
+        |    a3 - CAST(floor(g3/(n*16.0)) AS BIGINT) AS w3,
+        |    ab - CAST(floor(gb/(n*16.0)) AS BIGINT) AS b
+        |  FROM i2),
+        |p3 AS (
+        |  SELECT f.*, w2.w1 AS a1, w2.w2 AS a2, w2.w3 AS a3, w2.b AS ab,
+        |    LEAST(1000000, GREATEST(0,
+        |      CAST(floor((w2.w1*x1 + w2.w2*x2 + w2.w3*x3 + w2.b)/4.0) AS BIGINT) + 500000)) AS p
+        |  FROM f, w2),
+        |i3 AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum((p - y*1000000) * x1) AS DOUBLE) AS g1,
+        |    CAST(sum((p - y*1000000) * x2) AS DOUBLE) AS g2,
+        |    CAST(sum((p - y*1000000) * x3) AS DOUBLE) AS g3,
+        |    CAST(sum(p - y*1000000) AS DOUBLE) AS gb,
+        |    CAST(sum(CASE WHEN (p > 500000) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS ok,
+        |    max(a1) AS a1, max(a2) AS a2, max(a3) AS a3, max(ab) AS ab
+        |  FROM p3),
+        |w3 AS (
+        |  SELECT n, ok,
+        |    a1 - CAST(floor(g1/(n*16.0)) AS BIGINT) AS w1,
+        |    a2 - CAST(floor(g2/(n*16.0)) AS BIGINT) AS w2,
+        |    a3 - CAST(floor(g3/(n*16.0)) AS BIGINT) AS w3,
+        |    ab - CAST(floor(gb/(n*16.0)) AS BIGINT) AS b
+        |  FROM i3)
+        |SELECT 1 AS iter, n, ok AS n_correct, w1, w2, w3, b FROM w1
+        |UNION ALL SELECT 2, n, ok, w1, w2, w3, b FROM w2
+        |UNION ALL SELECT 3, n, ok, w1, w2, w3, b FROM w3
+        |ORDER BY iter""".stripMargin,
     "q49_repetition" ->
       """WITH tok AS (
         |  SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn

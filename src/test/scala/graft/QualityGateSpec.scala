@@ -5,6 +5,29 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class QualityGateSpec extends AnyFunSuite {
+  test("qualityClassifier: deterministic engine-exact GD; scores bounded") {
+    import graft.operators.QualityModel
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val a = QualityModel.train(spark, SharedSpark.sf)
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val b = QualityModel.train(spark, SharedSpark.sf)
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(a == b, "GD must be bit-deterministic across runs")
+    assert(a.map(_._1) == Seq(1, 2, 3))
+    assert(a.map(_._2).distinct.size == 1) // n constant
+    assert(a.forall { case (_, n, ok, _, _, _, _) => ok >= 0 && ok <= n })
+    val w = a.last match { case (_, _, _, w1, w2, w3, bb) => Array(w1, w2, w3, bb) }
+    val scores = QualityModel.score(spark, SharedSpark.sf, w)
+      .as[(Long, Long)].collect()
+    assert(scores.length == a.head._2)
+    assert(scores.forall { case (_, p) => p >= 0L && p <= 1000000L })
+    // zero model scores exactly 1/2 for every document
+    val flat = QualityModel.score(spark, SharedSpark.sf, Array(0L, 0L, 0L, 0L))
+      .as[(Long, Long)].collect()
+    assert(flat.forall(_._2 == 500000L))
+  }
+
   private lazy val spark = SharedSpark.spark
   import spark.implicits._
 
