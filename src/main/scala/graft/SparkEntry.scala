@@ -80,6 +80,7 @@ object SparkEntry {
     "q73_vocab_coverage"     -> ((s, d) => CorpusOps.vocabCoverage(s, d)),
     "q74_novelty"            -> ((s, d) => CorpusOps.novelty(s, d)),
     "q75_temperature_mix"    -> (CorpusOps.temperatureMix _),
+    "q79_chunk_documents"    -> ((s, d) => CorpusOps.chunkDocuments(s, d)),
     "q49_repetition"         -> (CorpusOps.repetition _),
     "q59_decontaminate"      -> ((s, d) => CorpusOps.decontaminate(s, d)),
     "q66_top_tokens"         -> ((s, d) => TextAnalysis.topTokens(s, d)),
@@ -572,6 +573,16 @@ object SparkEntry {
         |  CAST(floor(CAST(sq AS DOUBLE) * CAST(sum(tokens) OVER () AS DOUBLE)
         |             / CAST(sum(sq) OVER () AS DOUBLE)) AS BIGINT) AS expected_tokens
         |FROM q ORDER BY source""".stripMargin,
+    "q79_chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, unnest(range(1, len(toks)+1, 48)) AS st
+        |      FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, CAST(st AS BIGINT) AS start,
+        |  array_to_string(list_slice(toks, st, st+63), ' ') AS chunk_text,
+        |  CAST(LEAST(len(toks) - st + 1, 64) AS BIGINT) AS n_tokens
+        |FROM s ORDER BY doc_id, start""".stripMargin,
     "q78_quality_classifier" ->
       """WITH f AS (
         |  SELECT doc_id,

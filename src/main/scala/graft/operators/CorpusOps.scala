@@ -291,6 +291,29 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** Overlapping document chunking (the RAG / context-window ingestion
+    * step): fixed `chunk`-token windows every `stride` tokens, emitting
+    * the chunk text, its start offset and its true length. Pure row-local
+    * array ops (split → sequence-explode → slice → join): no shuffle at
+    * all beyond the output sort — at 100 TB this runs entirely inside the
+    * scan, and the ~chunk/stride× output expansion is the operator's
+    * intrinsic cost, not a plan artifact. Complements q47 (which packs
+    * offsets for training); this materializes retrieval units.
+    */
+  def chunkDocuments(s: SparkSession, d: String,
+                     chunk: Int = 64, stride: Int = 48): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(stride))).as("st"))
+      .select(col("doc_id"), col("st").cast("long").as("start"),
+        array_join(slice(col("toks"), col("st"), lit(chunk)), " ").as("chunk_text"),
+        least(size(col("toks")) - col("st") + 1, lit(chunk)).cast("long").as("n_tokens"))
+      .orderBy("doc_id", "start")
+  }
+
   /** Source mixture report: per-source doc/token counts, token share, and
     * the resampling weight that would flatten the mix to uniform
     * (weight = target-tokens-per-source / actual-tokens). The windows run

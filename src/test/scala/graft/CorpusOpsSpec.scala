@@ -113,6 +113,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(expected <= total && expected > total - out.length)
   }
 
+  test("chunkDocuments: stride overlap and exact reconstruction") {
+    val out = CorpusOps.chunkDocuments(spark, SharedSpark.sf, chunk = 64, stride = 48)
+      .as[(Long, Long, String, Long)].collect().groupBy(_._1)
+    val docs = spark.read.parquet(s"${SharedSpark.sf}/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    out.foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      val toks = docs(id).split(" ").filter(_.nonEmpty)
+      // starts advance by exactly the stride; lengths are true lengths
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(i => 1L + 48L * i))
+      sorted.foreach { case (_, st, text, n) =>
+        val expect = toks.slice(st.toInt - 1, st.toInt - 1 + 64)
+        assert(text == expect.mkString(" ") && n == expect.length)
+      }
+      // non-overlapping prefixes of consecutive chunks reconstruct the doc
+      val rebuilt = sorted.flatMap { case (_, st, text, _) =>
+        text.split(" ").take(48) }.take(toks.length)
+      assert(rebuilt.sameElements(toks.take(rebuilt.length)))
+      assert(sorted.last._2 + sorted.last._4 - 1 == toks.length)
+    }
+  }
+
   test("decontaminate: flags only docs overlapping the benchmark slice") {
     val flagged = CorpusOps.decontaminate(spark, SharedSpark.sf)
       .as[(Long, Long)].collect()
