@@ -86,13 +86,24 @@ object Scale {
     val alphabet = "abcdefghijklmnopqrstuvwxyz"
     def permFor(r: Int): String =
       new scala.util.Random(0xA11CE + r).shuffle(alphabet.toList).mkString
-    val permuted = (1 until factor).foldLeft(col("text")) { (acc, r) =>
-      when(col("rep") === r, translate(col("text"), alphabet, permFor(r))).otherwise(acc)
-    }
+    // The permutation is applied via a broadcast (rep → perm) lookup and
+    // a per-char map, NOT a per-replica when-chain: the chain's
+    // expression tree grows with the factor (a 999-deep tree at factor
+    // 1000 kills the analyzer), while this form is constant-size at any
+    // factor. Same seeded perms → byte-identical output to the chain.
+    import s.implicits._
+    val permDf = broadcast(
+      (1 until factor).map(r => (r, permFor(r))).toDF("rep", "perm")
+        .withColumn("perm_arr", split(col("perm"), "")).drop("perm"))
+    val mapped = array_join(
+      transform(split(col("text"), ""),
+        c => when(c >= "a" && c <= "z",
+          element_at(col("perm_arr"), ascii(c) - lit(96))).otherwise(c)), "")
     writeSingle(replicated("documents")
       .withColumn("doc_id", off("doc_id"))
-      .withColumn("text", permuted)
-      .drop("rep"), s"$out/documents.parquet")
+      .join(permDf, Seq("rep"), "left")
+      .withColumn("text", when(col("rep") === 0, col("text")).otherwise(mapped))
+      .drop("rep", "perm_arr"), s"$out/documents.parquet")
 
     // embeddings: deterministic per-replica ±1 dimension mask keeps
     // norms and within-replica cosines, kills cross-replica cosine;
