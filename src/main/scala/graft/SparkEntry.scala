@@ -121,6 +121,15 @@ object SparkEntry {
     // all-cells probe ≡ exhaustive: oracle bridge for training +
     // assignment + probe selection + scoring (the q61b pattern)
     "q76b_knn_ivf_kmeans_full" -> ((s, d) => Similarity.knnIvfKmeans(s, d, nprobe = 8)),
+    // MATERIALIZED IVF index (cell-partitioned vectors + codebook table);
+    // all-cells probe ≡ exhaustive oracles the persisted path end-to-end
+    // (codebook read-back, partitioned assignment, probe scoring); the
+    // nprobe=2 pruning equivalence with q76 is spec-asserted
+    "q76c_knn_ivf_indexed"   -> ((s, d) => Similarity.knnIvfIndexed(s, d, nprobe = 8)),
+    // SemDeDup (Abbas et al. 2023): k-means clusters → within-cluster
+    // cosine prune, min-id keeper; oracled by an unrolled DuckDB mirror
+    // of the quantized Lloyd iterations (the q63 recipe) + pair join
+    "q80_semdedup"           -> ((s, d) => Similarity.semDedup(s, d)),
     "q62_embedding_centroids" -> (Similarity.centroids _),
     "q68_quantize_embeddings" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "q63_kmeans"             -> ((s, d) => Similarity.kmeans(s, d)),
@@ -901,6 +910,12 @@ object SparkEntry {
         | FROM embeddings) t
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q63_kmeans" -> kmeansOracleSql(),
+    "q76c_knn_ivf_indexed" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(list_cosine_similarity(embedding, qv),4) AS sim
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q80_semdedup" -> semDedupOracleSql(),
     "q70_binary_meta" ->
       """SELECT doc_id AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | sha256(text) AS sha
@@ -916,6 +931,46 @@ object SparkEntry {
     * means land on the 1e-6 grid via integer-rounded quotients — the same
     * quantized-moments recipe as q16.
     */
+  /** DuckDB mirror of [[graft.operators.Similarity.semDedup]]: the same
+    * unrolled quantized Lloyd iterations as [[kmeansOracleSql]] (every
+    * block updates, so `c${iters+1}` is the engine's final codebook),
+    * a final assignment against it, then the within-cluster pair join
+    * with `round(list_cosine_similarity, 4)` — the exact q54 contract,
+    * already hash-stable cross-engine — and the min-id keeper rollup.
+    */
+  private def semDedupOracleSql(k: Int = 8, iters: Int = 3,
+                                tau: Double = 0.4): String = {
+    val sExpr = "list_inner_product(e.v, c.c)*-2.0 + list_sum(list_transform(c.c, x -> x*x))"
+    def block(i: Int): String =
+      s"""a$i AS (SELECT vec_id, v, cluster FROM (
+        |  SELECT e.vec_id, e.v, c.cluster,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $sExpr ASC, c.cluster ASC) AS rn
+        |  FROM e CROSS JOIN c$i c) t WHERE rn = 1),
+        |u$i AS (SELECT cluster, i,
+        |    CAST(round(CAST(sum(q) AS DOUBLE)/count(*)) AS BIGINT)/1000000.0 AS m
+        |  FROM (SELECT cluster, unnest(range(len(v))) AS i,
+        |        CAST(round(unnest(v)*1000000) AS BIGINT) AS q FROM a$i) z
+        |  GROUP BY cluster, i),
+        |c${i + 1} AS (SELECT c$i.cluster, coalesce(u.c, c$i.c) AS c FROM c$i LEFT JOIN
+        |  (SELECT cluster, list(m ORDER BY i) AS c FROM u$i GROUP BY cluster) u
+        |  USING (cluster)),""".stripMargin
+    val fin = iters + 1
+    s"""WITH e AS (SELECT vec_id, embedding,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |c1 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS c
+      |  FROM e WHERE vec_id < $k),
+      |${(1 to iters).map(block).mkString("\n")}
+      |af AS (SELECT vec_id, embedding, cluster FROM (
+      |  SELECT e.vec_id, e.embedding, c.cluster,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $sExpr ASC, c.cluster ASC) AS rn
+      |  FROM e CROSS JOIN c$fin c) t WHERE rn = 1),
+      |pairs AS (SELECT a.cluster, a.vec_id AS a, b.vec_id AS b
+      |  FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= $tau)
+      |SELECT b AS vec_id, cluster, min(a) AS kept_by, count(*) AS n_dups
+      |FROM pairs GROUP BY b, cluster ORDER BY vec_id""".stripMargin
+  }
+
   private def kmeansOracleSql(k: Int = 8, iters: Int = 3): String = {
     val sExpr = "list_inner_product(e.v, c.c)*-2.0 + list_sum(list_transform(c.c, x -> x*x))"
     def iterBlock(i: Int): String = {

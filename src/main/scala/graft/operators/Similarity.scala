@@ -279,11 +279,7 @@ object Similarity {
   def knnIvfKmeans(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
                    nprobe: Int = 2, cells: Int = 8, iters: Int = 3): DataFrame = {
     GraftFunctions.register(s)
-    val codebook = codebooks.getOrElseUpdate((d, cells, iters), {
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-        .localCheckpoint(true)
-      lloydIterations(e, cells, iters)._1
-    })
+    val codebook = trainedCodebook(s, d, cells, iters)
     val e = Tables.embeddings(s, d)
     val qVec = e.filter(col("vec_id") === queryId)
       .select("embedding").head().getSeq[Float](0).map(_.toDouble)
@@ -307,6 +303,141 @@ object Similarity {
     e.select(col("vec_id") +: col("embedding") +: scores: _*)
       .withColumn("cell", (array_position(sArr, array_min(sArr)) - 1).cast("int"))
       .filter(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(
+        GraftFunctions.dot(col("embedding"), qv) /
+          (GraftFunctions.norm(col("embedding")) * lit(qn)), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Trained codebook for (dir, cells, iters) — cached per JVM like
+    * [[indexDirs]]; the offline-training artifact every IVF/semantic
+    * consumer shares.
+    */
+  private def trainedCodebook(s: SparkSession, d: String, cells: Int,
+                              iters: Int): Array[Array[Double]] =
+    codebooks.getOrElseUpdate((d, cells, iters), {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      lloydIterations(e, cells, iters)._1
+    })
+
+  /** Cell-assignment expression against a fixed codebook: the same
+    * argmin-by-(-2x·c + ||c||²) used by [[kmeans]]; ties break to the
+    * lowest cell, matching the oracle's `ORDER BY score, cluster`.
+    */
+  private def cellAssign(codebook: Array[Array[Double]], e: DataFrame): DataFrame = {
+    val cells = codebook.length
+    val scores = codebook.zipWithIndex.map { case (c, j) =>
+      val cLit = array(c.map(lit): _*)
+      val c2 = c.map(x => x * x).sum
+      (GraftFunctions.dot(col("embedding"), cLit) * -2.0 + c2).as(s"s$j")
+    }
+    val sArr = array((0 until cells).map(j => col(s"s$j")): _*)
+    e.select(col("vec_id") +: col("embedding") +: scores: _*)
+      .withColumn("cell", (array_position(sArr, array_min(sArr)) - 1).cast("int"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** Semantic deduplication (the SemDeDup recipe of Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means-cluster the embedding space, then within
+    * each cluster drop every vector that has a near-identical
+    * (cosine ≥ `tau`) neighbor with a smaller vec_id — the min-id keeper
+    * policy, deterministic and engine-mirrorable. Complements q54/q55:
+    * those bucket by metadata label / random hyperplanes; this clusters
+    * by the LEARNED geometry, which is what catches cross-source
+    * semantic duplicates.
+    *
+    * Scale shape: training touches only the model (see [[kmeans]]);
+    * assignment is one narrow scan; the pair join is bounded by the
+    * cluster partition (Σ n_c² — `cells` is the scale dial, sized
+    * ∝ corpus / target-cluster-size exactly like [[lshBucket]] bits,
+    * and giant clusters can be sub-bucketed by [[lshBucket]] within the
+    * cluster key). Returns one row per DROPPED vector with its cluster,
+    * keeper, and duplicate count.
+    */
+  def semDedup(s: SparkSession, d: String, cells: Int = 8, iters: Int = 3,
+               tau: Double = 0.4): DataFrame = {
+    GraftFunctions.register(s)
+    val assigned = cellAssign(trainedCodebook(s, d, cells, iters),
+        Tables.embeddings(s, d))
+      .withColumn("nrm", GraftFunctions.norm(col("embedding")))
+    val a = assigned.select(col("cell"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .select(col("cell"), col("a"), col("b"),
+        round(GraftFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+          .as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("b"), col("cell"))
+      .agg(min(col("a")).as("kept_by"), count(lit(1)).as("n_dups"))
+      .select(col("b").as("vec_id"), col("cell").as("cluster"),
+        col("kept_by"), col("n_dups"))
+      .orderBy("vec_id")
+  }
+
+  /** Persisted IVF index dirs, keyed like [[codebooks]]. */
+  private val ivfIndexDirs = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int), String]
+
+  /** Materialize the IVF index the way a deployment stores it: the
+    * vectors parquet PARTITIONED BY assigned cell (probe sets prune at
+    * file listing, the [[buildBucketedIndex]] contract) plus the trained
+    * codebook as its own small table (`cell`, `centroid`) — the model
+    * artifact travels WITH the index instead of being retrained per
+    * session (SURVEY round-3 seed).
+    */
+  def buildIvfIndex(s: SparkSession, d: String, out: String, cells: Int = 8,
+                    iters: Int = 3): Unit = {
+    GraftFunctions.register(s)
+    val codebook = trainedCodebook(s, d, cells, iters)
+    cellAssign(codebook, Tables.embeddings(s, d))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$out/vectors")
+    import s.implicits._
+    codebook.zipWithIndex.toSeq
+      .map { case (c, j) => (j, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/codebook")
+  }
+
+  private def ivfIndexPath(s: SparkSession, d: String, cells: Int, iters: Int): String =
+    ivfIndexDirs.getOrElseUpdate((d, cells, iters), {
+      val t = java.nio.file.Files.createTempDirectory("graft_ivf_index_")
+      t.toFile.deleteOnExit()
+      buildIvfIndex(s, d, t.toString, cells, iters)
+      t.toString
+    })
+
+  /** ANN against the MATERIALIZED IVF index: the codebook is read back
+    * as a table (cells × dim — model-sized), cells are ranked driver-side,
+    * and the probe set becomes a partition filter on the cell-partitioned
+    * vectors table — non-probe cells are pruned before any I/O. Results
+    * ≡ [[knnIvfKmeans]] at the same (cells, iters, nprobe): same
+    * codebook, same assignment, same scoring.
+    */
+  def knnIvfIndexed(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
+                    nprobe: Int = 2, cells: Int = 8, iters: Int = 3): DataFrame = {
+    GraftFunctions.register(s)
+    val path = ivfIndexPath(s, d, cells, iters)
+    val codebook = s.read.parquet(s"$path/codebook")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val idx = s.read.parquet(s"$path/vectors")
+    val qVec = idx.filter(col("vec_id") === queryId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val probes = codebook.zipWithIndex
+      .map { case (c, j) =>
+        (c.zip(qVec).map { case (x, y) => (x - y) * (x - y) }.sum, j)
+      }
+      .sortBy { case (dist, j) => (dist, j) }
+      .take(nprobe).map(_._2)
+    val qv = array(qVec.map(lit): _*)
+    val qn = math.sqrt(qVec.map(x => x * x).sum)
+    idx.filter(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), round(
         GraftFunctions.dot(col("embedding"), qv) /
           (GraftFunctions.norm(col("embedding")) * lit(qn)), 4).as("sim"))

@@ -181,6 +181,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(selected <= 9, s"radius-1 probe should read <= 9 partitions, read $selected")
   }
 
+  test("knnIvfIndexed: identical to in-flight knnIvfKmeans; probe set prunes CELL partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val inflight = Similarity.knnIvfKmeans(spark, sf, 0L, 10, nprobe = 2).collect().toSeq
+    val indexed = Similarity.knnIvfIndexed(spark, sf, 0L, 10, nprobe = 2)
+    assert(indexed.collect().toSeq === inflight)
+
+    // the persisted index must push the probe set as a partition filter
+    // and list only the probed cells (2 of 8 at nprobe=2)
+    val scans = indexed.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec if f.relation.partitionSchema.fieldNames.contains("cell") => f
+    }
+    assert(scans.nonEmpty, "no cell-partitioned file scan in the indexed plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.map(_.name).toSeq.contains("cell")),
+      s"probe set not pushed as a partition filter: ${scan.partitionFilters}")
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected <= 2, s"nprobe=2 should read <= 2 cell partitions, read $selected")
+  }
+
+  test("semDedup: dropped vectors are cosine-near their smaller-id keeper") {
+    val dropped = Similarity.semDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(dropped.nonEmpty)
+    assert(dropped.forall { case (v, _, keep, n) => keep < v && n >= 1 })
+    // each (keeper, dropped) pair really is cosine >= tau — recomputed
+    // locally from the raw vectors, independent of the engine's plan
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    dropped.foreach { case (v, _, keep, _) =>
+      val c = cos(vecs(v), vecs(keep))
+      assert(math.round(c * 10000) / 10000.0 >= 0.4, s"pair ($keep,$v) cos=$c below tau")
+    }
+  }
+
   test("knnIvfKmeans: full probe = exhaustive; nprobe recall monotone and useful") {
     val brute = Similarity.knnBrute(spark, sf, 0L, 10).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
