@@ -107,18 +107,11 @@ object Similarity {
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     val results = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Double)]
     for (it <- 1 to iters) {
-      val scores = centroids.zipWithIndex.map { case (c, j) =>
-        val cLit = array(c.map(lit): _*)
-        val c2 = c.map(x => x * x).sum
-        (GraftFunctions.dot(col("embedding"), cLit) * -2.0 + c2).as(s"s$j")
-      }
-      val xx = GraftFunctions.dot(col("embedding"), col("embedding"))
-      val scored = e.select(col("vec_id") +: col("embedding") +: xx.as("xx") +: scores: _*)
-      val sArr = array((0 until k).map(j => col(s"s$j")): _*)
-      val assigned = scored.select(
-        col("vec_id"), col("embedding"),
-        (col("xx") + array_min(sArr)).as("sq_dist"),
-        (array_position(sArr, array_min(sArr)) - 1).cast("int").as("cluster"))
+      // size-dispatched assignment (literal code small-k, broadcast-join
+      // large-k) — bit-identical either way, see cellAssign
+      val assigned = (if (k > LiteralAssignMaxCells) assignJoin(centroids, e)
+                      else assignLiteral(centroids, e))
+        .withColumnRenamed("cell", "cluster")
       // per-cluster stats for this iteration (one agg). Inertia is summed
       // on the 1e-4 integer grid (per-row quantize, exact long sum) so the
       // DuckDB oracle mirror reproduces it bit-for-bit — a raw double sum
@@ -291,17 +284,10 @@ object Similarity {
       }
       .sortBy { case (dist, j) => (dist, j) }
       .take(nprobe).map(_._2)
-    // same argmin-by-(-2x·c + ||c||²) assignment expression as kmeans
-    val scores = codebook.zipWithIndex.map { case (c, j) =>
-      val cLit = array(c.map(lit): _*)
-      val c2 = c.map(x => x * x).sum
-      (GraftFunctions.dot(col("embedding"), cLit) * -2.0 + c2).as(s"s$j")
-    }
-    val sArr = array((0 until cells).map(j => col(s"s$j")): _*)
+    // same size-dispatched assignment as kmeans/semDedup
     val qv = array(qVec.map(lit): _*)
     val qn = math.sqrt(qVec.map(x => x * x).sum)
-    e.select(col("vec_id") +: col("embedding") +: scores: _*)
-      .withColumn("cell", (array_position(sArr, array_min(sArr)) - 1).cast("int"))
+    cellAssign(codebook, e)
       .filter(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), round(
         GraftFunctions.dot(col("embedding"), qv) /
@@ -322,21 +308,69 @@ object Similarity {
       lloydIterations(e, cells, iters)._1
     })
 
-  /** Cell-assignment expression against a fixed codebook: the same
-    * argmin-by-(-2x·c + ||c||²) used by [[kmeans]]; ties break to the
-    * lowest cell, matching the oracle's `ORDER BY score, cluster`.
+  /** Above this many cells, argmin assignment switches from `cells`
+    * inline literal-dot columns to a broadcast centroid-table join:
+    * the literal form generates code LINEAR in cells (measured: 8→64
+    * cells took q80 from 18 s to 88 s at sf1 on compile cost alone),
+    * while the join form is one fixed-size codegen'd stage whose row
+    * expansion n·cells is distributed work, not driver-side code.
     */
-  private def cellAssign(codebook: Array[Array[Double]], e: DataFrame): DataFrame = {
+  private val LiteralAssignMaxCells = 16
+
+  /** Join-form assignment: broadcast the (cell, centroid, ||c||²) table,
+    * one codegen'd dot per (row, cell), argmin via `min(struct(score,
+    * cell))` — lexicographic struct min ties to the lowest cell, the
+    * same tie-break as the literal form's array_position-of-min and the
+    * oracle's `ORDER BY score, cluster`. Bit-identical to the literal
+    * form (spec-asserted): same double scores, same argmin.
+    * Returns (vec_id, embedding, sq_dist, cell).
+    */
+  private def assignJoin(codebook: Array[Array[Double]], e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val cb = codebook.zipWithIndex
+      .map { case (c, j) => (j, c.toSeq, c.map(x => x * x).sum) }.toSeq
+      .toDF("cl", "c", "c2")
+    e.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("embedding"),
+        struct((GraftFunctions.dot(col("embedding"), col("c")) * -2.0 + col("c2"))
+          .as("sc"), col("cl").as("cl")).as("m"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"), min(col("m")).as("m"))
+      .select(col("vec_id"), col("embedding"),
+        (GraftFunctions.dot(col("embedding"), col("embedding")) + col("m.sc"))
+          .as("sq_dist"),
+        col("m.cl").cast("int").as("cell"))
+  }
+
+  /** Literal-form assignment (see [[assignJoin]] for the large-cells
+    * alternative): the argmin-by-(-2x·c + ||c||²) used by [[kmeans]];
+    * ties break to the lowest cell. Returns the same schema.
+    */
+  private def assignLiteral(codebook: Array[Array[Double]], e: DataFrame): DataFrame = {
     val cells = codebook.length
     val scores = codebook.zipWithIndex.map { case (c, j) =>
       val cLit = array(c.map(lit): _*)
       val c2 = c.map(x => x * x).sum
       (GraftFunctions.dot(col("embedding"), cLit) * -2.0 + c2).as(s"s$j")
     }
+    val xx = GraftFunctions.dot(col("embedding"), col("embedding"))
     val sArr = array((0 until cells).map(j => col(s"s$j")): _*)
-    e.select(col("vec_id") +: col("embedding") +: scores: _*)
-      .withColumn("cell", (array_position(sArr, array_min(sArr)) - 1).cast("int"))
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    e.select(col("vec_id") +: col("embedding") +: xx.as("xx") +: scores: _*)
+      .select(col("vec_id"), col("embedding"),
+        (col("xx") + array_min(sArr)).as("sq_dist"),
+        (array_position(sArr, array_min(sArr)) - 1).cast("int").as("cell"))
+  }
+
+  /** Size-dispatched assignment: literal code for small codebooks (the
+    * oracle-checked operating points), broadcast-join for large ones
+    * (the scale path). `useJoin` overrides for equivalence tests.
+    */
+  private[graft] def cellAssign(codebook: Array[Array[Double]], e: DataFrame,
+                                useJoin: Option[Boolean] = None): DataFrame = {
+    val join = useJoin.getOrElse(codebook.length > LiteralAssignMaxCells)
+    val a = if (join) assignJoin(codebook, e) else assignLiteral(codebook, e)
+    a.select(col("vec_id"), col("embedding"), col("cell"))
   }
 
   /** Semantic deduplication (the SemDeDup recipe of Abbas et al. 2023,
@@ -378,6 +412,30 @@ object Similarity {
       .select(col("b").as("vec_id"), col("cell").as("cluster"),
         col("kept_by"), col("n_dups"))
       .orderBy("vec_id")
+  }
+
+  /** The cells dial as a formula (the lshBucket-bits analog): smallest
+    * power of two ≥ n/targetPerCell, floored at 8 — keeps the
+    * within-cluster pair join Σ n_c² ≈ n·targetPerCell, i.e. LINEAR in
+    * corpus size at a fixed per-cell budget.
+    */
+  private[graft] def cellsFor(n: Long, targetPerCell: Int = 500): Int = {
+    val want = math.min(1L << 14, math.max(1L, n / targetPerCell))
+    var c = 8
+    while (c < want) c <<= 1
+    c
+  }
+
+  /** [[semDedup]] with the cells dial auto-sized from the corpus count
+    * (a parquet-metadata count — no data scan). At the test SFs this
+    * resolves to the oracle-checked cells=8 operating point; at larger
+    * corpora the pair join stays linear instead of quadratic (measured:
+    * see SCALE.md's semantic-dedup section).
+    */
+  def semDedupAuto(s: SparkSession, d: String, targetPerCell: Int = 500,
+                   iters: Int = 3, tau: Double = 0.4): DataFrame = {
+    val n = Tables.embeddings(s, d).count()
+    semDedup(s, d, cellsFor(n, targetPerCell), iters, tau)
   }
 
   /** Persisted IVF index dirs, keyed like [[codebooks]]. */

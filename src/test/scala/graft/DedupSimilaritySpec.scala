@@ -200,6 +200,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(selected <= 2, s"nprobe=2 should read <= 2 cell partitions, read $selected")
   }
 
+  test("cellAssign: broadcast-join form is bit-identical to the literal form") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val cb = e.filter(col("vec_id") < 8).orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val lit = Similarity.cellAssign(cb, e, Some(false))
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    val jn = Similarity.cellAssign(cb, e, Some(true))
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(lit === jn)
+  }
+
+  test("cellsFor: linear-cost dial formula; semDedupAuto = fixed cells at test SF") {
+    assert(Similarity.cellsFor(500) === 8)
+    assert(Similarity.cellsFor(20000) === 64)
+    assert(Similarity.cellsFor(2000000) === 4096)
+    val auto = Similarity.semDedupAuto(spark, sf).collect().toSeq
+    val fixed = Similarity.semDedup(spark, sf, cells = 8).collect().toSeq
+    assert(auto === fixed)
+  }
+
+  test("kmeans trains above the literal-assignment cell cap (join path)") {
+    val big = Similarity.kmeans(spark, sf, k = 24, iters = 2).collect()
+    assert(big.map(_.getInt(0)).distinct.sorted === Array(1, 2))
+    // every vector assigned each iteration
+    val n = big.filter(_.getInt(0) == 1).map(_.getLong(2)).sum
+    assert(n === Tables.embeddings(spark, sf).count())
+  }
+
   test("semDedup: dropped vectors are cosine-near their smaller-id keeper") {
     val dropped = Similarity.semDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
