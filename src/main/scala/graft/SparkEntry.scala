@@ -134,7 +134,16 @@ object SparkEntry {
     "q68_quantize_embeddings" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "q63_kmeans"             -> ((s, d) => Similarity.kmeans(s, d)),
     // §2c multimodal (declarative metadata path)
-    "q70_binary_meta"        -> (Multimodal.binaryMeta _)
+    "q70_binary_meta"        -> (Multimodal.binaryMeta _),
+    // bigram-LM likelihood filter (integer-exact ppm grid, no log)
+    "q81_lm_score"           -> ((s, d) => CorpusOps.lmScore(s, d)),
+    // asymmetric shingle overlap — partial-duplication detection
+    "q82_containment"        -> ((s, d) => Dedup.containmentPairs(s, d)),
+    // exact-dup cluster-size histogram (corpus diagnostic over q50's exchange)
+    "q83_dup_histogram"      -> ((s, d) => CorpusOps.dupHistogram(s, d)),
+    // SimHash machinery on md5-nibble bits: the oracle-checked bridge for
+    // q52 (xxhash64 stays the production hash; same majority/chunk/hamming)
+    "q52b_simhash_mirror"    -> ((s, d) => Dedup.simhashPairsMirrorable(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -919,8 +928,82 @@ object SparkEntry {
     "q70_binary_meta" ->
       """SELECT doc_id AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | sha256(text) AS sha
-        |FROM documents ORDER BY 1""".stripMargin
+        |FROM documents ORDER BY 1""".stripMargin,
+    // conditional p(w2|w1) floored to a ppm grid per bigram, floor-mean per
+    // doc — all integer (HUGEINT // on the DuckDB side, DECIMAL on Spark's)
+    "q81_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+        |               unnest(range(len(string_split(text,' ')))) AS pos FROM documents)
+        |  WHERE len(t) > 0),
+        |bi AS (SELECT a.doc_id, a.t AS w1, a.t || ' ' || b.t AS g
+        |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+        |pf AS (SELECT g, count(*) AS c2 FROM bi GROUP BY 1),
+        |lf AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(CAST(sum((CAST(c2 AS HUGEINT) * 1000000) // c1) AS HUGEINT)
+        |       // count(*) AS BIGINT) AS lm_ppm
+        |FROM bi JOIN pf USING (g) JOIN lf USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // exhaustive containment (Spark's rare/hot decomposition is exact for
+    // every pair sharing >= 1 sub-cap shingle — the q53 argument)
+    "q82_containment" ->
+      """WITH tok AS (SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text,' '))-2),
+        |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, len(sh) AS sz FROM tok),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+        |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT p.a, p.b,
+        | round(CAST(p.inter AS DOUBLE)/LEAST(sa.sz, sb.sz),4) AS containment
+        |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b
+        |WHERE round(CAST(p.inter AS DOUBLE)/LEAST(sa.sz, sb.sz),4) >= 0.8
+        |ORDER BY 1,2""".stripMargin,
+    "q83_dup_histogram" ->
+      """WITH c AS (SELECT md5(text) AS h, count(*) AS sz FROM documents GROUP BY 1)
+        |SELECT sz, count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs,
+        | CAST(sum(sz - 1) AS BIGINT) AS n_removable
+        |FROM c GROUP BY sz ORDER BY sz""".stripMargin,
+    "q52b_simhash_mirror" -> simhashMirrorOracleSql()
   )
+
+  /** DuckDB mirror of [[graft.operators.Dedup.simhashPairsMirrorable]]:
+    * the md5-nibble token hash (strpos in the hex alphabet ≡ Spark's
+    * base-16 conv), the 32 ±1 majority sums, signature assembly as a sum
+    * of power-of-two terms, 8-bit chunk candidate generation, and
+    * bit_count hamming — every stage value-identical to the Spark plan.
+    */
+  private def simhashMirrorOracleSql(maxHamming: Int = 3): String = {
+    val nibs = (0 until 8).map(j =>
+      s"strpos('0123456789abcdef', substr(m,${j + 1},1))-1 AS n$j").mkString(",\n  ")
+    val bitSums = (0 until 32).map(i =>
+      s"sum(CASE WHEN (n${i / 4} >> ${i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n  ")
+    val sigTerms = (0 until 32).map(i =>
+      s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val chunkCols = (0 until 4).map(j =>
+      s"(simhash >> ${j * 8}) & 255 AS c$j").mkString(", ")
+    val chunkEq = (0 until 4).map(j => s"a.c$j = b.c$j").mkString(" OR ")
+    s"""WITH tok AS (SELECT doc_id, md5(t) AS m FROM (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)
+      |  WHERE len(t) > 0),
+      |nib AS (SELECT doc_id,
+      |  $nibs
+      |  FROM tok),
+      |bits AS (SELECT doc_id,
+      |  $bitSums
+      |  FROM nib GROUP BY doc_id),
+      |sig AS (SELECT doc_id, CAST($sigTerms AS BIGINT) AS simhash FROM bits),
+      |ch AS (SELECT doc_id, simhash, $chunkCols FROM sig)
+      |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM ch a JOIN ch b ON a.doc_id < b.doc_id AND ($chunkEq)
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+      |ORDER BY 1, 2""".stripMargin
+  }
 
   /** DuckDB mirror of [[graft.operators.Similarity.kmeans]]: `iters`
     * unrolled Lloyd's iterations, k initial centroids = the first k

@@ -314,6 +314,63 @@ object CorpusOps {
       .orderBy("doc_id", "start")
   }
 
+  /** Per-document bigram-LM likelihood score (the CCNet-style "does this
+    * text look like the corpus" filter, without the transcendental): for
+    * each adjacent pair (w1,w2) the conditional probability
+    * p = count(w1,w2) / count(w1,·) is floored onto a parts-per-million
+    * integer grid, and a document scores the floor-mean of its bigrams'
+    * ppm values. Low scorers are out-of-distribution (or noise), high
+    * scorers formulaic — the same two-tailed mix filter as q74, but
+    * model-based rather than rarity-based. All arithmetic is exact
+    * integer (DECIMAL for the ppm product), so the score is engine-exact.
+    *
+    * Shape: one bigram stream (64-bit hashes — strings never shuffle),
+    * TWO frequency tables off the same stream (pair counts and
+    * left-context counts, both map-side partial-agg'd), two hash joins
+    * back, one per-doc agg. Every stage is linear in corpus size.
+    */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .filter(length(col("t")) > 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = tok
+      .select(col("doc_id"), col("t"), lead(col("t"), 1).over(w).as("t1"))
+      .filter(col("t1").isNotNull)
+      .select(col("doc_id"), xxhash64(col("t")).as("h1"),
+        xxhash64(col("t"), col("t1")).as("h2"))
+    val pairFreq = bi.groupBy(col("h2")).agg(count(lit(1)).as("c2"))
+    val leftFreq = bi.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    bi.join(pairFreq, "h2").join(leftFreq, "h1")
+      .select(col("doc_id"),
+        floor(col("c2").cast("decimal(38,0)") * 1000000 / col("c1"))
+          .cast("long").as("ppm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("sum_ppm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        floor(col("sum_ppm").cast("decimal(38,0)") / col("n_bigrams"))
+          .cast("long").as("lm_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Duplicate-cluster size histogram: for each exact-duplicate cluster
+    * size, how many clusters have it and how many documents (and how many
+    * would be REMOVED by keep-one dedup). The one-line corpus diagnostic
+    * that says whether duplication lives in a few giant clusters (crawl
+    * boilerplate — cheap to kill) or a long tail of pairs (expensive).
+    * Two cheap aggs over the q50 exchange; output is ≤ max-cluster-size
+    * rows.
+    */
+  def dupHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1).as("n_removable"))
+      .orderBy("sz")
+
   /** Source mixture report: per-source doc/token counts, token share, and
     * the resampling weight that would flatten the mix to uniform
     * (weight = target-tokens-per-source / actual-tokens). The windows run

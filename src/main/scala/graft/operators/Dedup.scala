@@ -161,6 +161,17 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, d: String, tau: Double = 0.5,
                    dfCap: Int = 256): DataFrame = {
+    val (inter, sizes) = interAndSizes(s, d, dfCap)
+    joinSizesAndScore(inter, sizes, tau)
+  }
+
+  /** Shared candidate machinery for the exact set-overlap family
+    * (q53 Jaccard, q82 containment): (a,b,inter) for every pair sharing
+    * ≥ 1 rare shingle, plus per-doc set sizes — the rare/hot df-cap
+    * decomposition documented on [[ngramJaccard]].
+    */
+  private def interAndSizes(s: SparkSession, d: String,
+                            dfCap: Int): (DataFrame, DataFrame) = {
     // ex's distinct-exchange is reused by every consumer below
     // (ReusedExchange within the single action) — no eager checkpoint.
     val ex = explodedShingles(s, d)
@@ -194,7 +205,29 @@ object Dedup {
         (col("inter_rare") +
           coalesce(size(array_intersect(col("hsa"), col("hsb"))).cast("long"), lit(0L)))
           .as("inter"))
-    joinSizesAndScore(inter, sizes, tau)
+    (inter, sizes)
+  }
+
+  /** Shingle-set CONTAINMENT pairs: max(|A∩B|/|A|, |A∩B|/|B|) ≥ τ —
+    * the asymmetric overlap that catches partial duplication (one doc
+    * quoting, embedding, or extending another) that symmetric Jaccard
+    * misses: a 50-shingle doc fully contained in a 500-shingle doc has
+    * jaccard 0.1 but containment 1.0. Candidates come from the same
+    * rare/hot decomposition as q53 (a pair at containment τ shares
+    * ≥ τ·min(|A|,|B|) shingles, so the ≥-1-rare-shared-shingle recall
+    * argument transfers unchanged); scoring divides by the SMALLER set.
+    */
+  def containmentPairs(s: SparkSession, d: String, tau: Double = 0.8,
+                       dfCap: Int = 256): DataFrame = {
+    val (inter, sizes) = interAndSizes(s, d, dfCap)
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("sza"), col("szb")), 4))
+      .filter(col("containment") >= tau)
+      .select("a", "b", "containment")
+      .orderBy("a", "b")
   }
 
   /** inter(a,b) ⋈ sizes → rounded Jaccard ≥ τ, ordered. */
@@ -452,6 +485,59 @@ object Dedup {
       col("doc_id"), col("simhash"),
       posexplode(array(chunkKeys: _*)).as(Seq("chunk", "ckey")))
     chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+  }
+
+  /** Oracle-checked SimHash bridge (the q61b pattern applied to q52):
+    * identical algorithm — per-bit ±1 token-hash majority, chunked
+    * candidate generation, hamming filter — but the token hash is the
+    * first 32 bits of md5 read nibble-by-nibble, which BOTH engines can
+    * compute character-for-character (DuckDB mirrors each nibble as
+    * strpos('0123456789abcdef', …)−1). xxhash64 stays the production
+    * hash (q52: one codegen call/token vs 8 string ops); this variant
+    * pins the simhash MACHINERY — majority vote, signature assembly,
+    * pigeonhole chunking, bit_count hamming — against an exact SQL
+    * mirror. 32 bits / 4 chunks keeps the ≤3-hamming pigeonhole of q52.
+    */
+  def simhashPairsMirrorable(s: SparkSession, d: String,
+                             maxHamming: Int = 3): DataFrame = {
+    val bits = 32
+    val chunks = 4
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .withColumn("m", md5(col("t")))
+    // nibble j (0..7) of the md5 hex prefix as an integer 0..15 —
+    // ONE base-16 conv of the 8-char prefix per token, nibbles peeled off
+    // by shifts (8 separate convs measured ~3× slower). The DuckDB mirror
+    // spells each nibble strpos('0123456789abcdef', …)−1 — same values.
+    val nibs = tok
+      .withColumn("v32", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
+      .select(col("doc_id") +: (0 until bits / 4).map(j =>
+        shiftrightunsigned(col("v32"), 4 * (7 - j)).bitwiseAND(lit(15L))
+          .as(s"n$j")): _*)
+    val bitSums = (0 until bits).map(i =>
+      sum(when(shiftrightunsigned(col(s"n${i / 4}"), i % 4)
+        .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i"))
+    val agg = nibs.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until bits)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    val sig = agg.select(col("doc_id"), simhash.as("simhash"))
+    val chunkKeys = (0 until chunks).map(j =>
+      shiftrightunsigned(col("simhash"), j * (bits / chunks))
+        .bitwiseAND(lit((1L << (bits / chunks)) - 1)))
+    val ch = sig.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array(chunkKeys: _*)).as(Seq("chunk", "ckey")))
+    ch.as("a").join(ch.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(

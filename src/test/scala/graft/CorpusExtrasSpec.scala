@@ -133,4 +133,44 @@ class CorpusExtrasSpec extends AnyFunSuite {
     assert(bloom == exact)
     assert(exact.nonEmpty)
   }
+
+  test("lmScore: every doc scored, ppm in [0, 1e6], repeated text scores the ceiling") {
+    val out = CorpusOps.lmScore(spark, SharedSpark.sf)
+      .as[(Long, Long, Long)].collect()
+    val nDocs = spark.read.parquet(SharedSpark.sf + "/documents.parquet")
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(out.length == nDocs)
+    assert(out.forall { case (_, n, ppm) => n > 0 && ppm >= 0 && ppm <= 1000000 })
+    // a document whose bigrams are all unique LEFT contexts would score
+    // 1e6 exactly; the corpus mean must sit strictly inside the range
+    val mean = out.map(_._3).sum / out.length
+    assert(mean > 0 && mean < 1000000)
+  }
+
+  test("lmScore: hand-checked on a constructed two-doc corpus") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("lmscore").toString
+    // corpus bigrams: doc0 "a b a b" -> (a,b)(b,a)(a,b); doc1 "a b c" -> (a,b)(b,c)
+    // pair counts: (a,b)=3, (b,a)=1, (b,c)=1 ; left counts: a=3, b=2? no:
+    // lefts: a appears as w1 in (a,b)x3 -> c1(a)=3; b as w1 in (b,a),(b,c) -> c1(b)=2
+    Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val scores = CorpusOps.lmScore(spark, dir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // doc0: ppm((a,b))=floor(3e6/3)=1000000 twice, ppm((b,a))=floor(1e6/2)=500000
+    //   -> floor((1000000+500000+1000000)/3) = 833333
+    assert(scores(0L) == ((3L, 833333L)))
+    // doc1: ppm((a,b))=1000000, ppm((b,c))=floor(1e6/2)=500000 -> 750000
+    assert(scores(1L) == ((2L, 750000L)))
+  }
+
+  test("dupHistogram: doc counts add back to the corpus, removable = docs - clusters") {
+    val out = CorpusOps.dupHistogram(spark, SharedSpark.sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val nDocs = spark.read.parquet(SharedSpark.sf + "/documents.parquet").count()
+    assert(out.map(_._3).sum == nDocs)
+    assert(out.forall { case (sz, nc, nd, rem) => nd == sz * nc && rem == nd - nc })
+  }
 }

@@ -280,4 +280,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(full == brute)
   }
+
+  test("containment: superset pairs score 1.0 where jaccard stays low") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("containment").toString
+    // doc 1 = a strict prefix of doc 0 (10 of its 28 shingles), doc 2 unrelated
+    val big = (1 to 30).map(i => s"w$i").mkString(" ")
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    Seq((0L, big), (1L, small), (2L, other)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.containmentPairs(spark, dir, tau = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 1L, 1.0))) // containment 10/10; jaccard = 10/28 ≈ 0.36
+    val jac = Dedup.ngramJaccard(spark, dir, tau = 0.8).count()
+    assert(jac == 0) // symmetric jaccard misses the embedded doc
+  }
+
+  test("simhash mirror variant: every same-text pair is hamming-0 under both hashes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import java.nio.file.Files
+    // Same machinery, different token hash → the pair SETS need not be
+    // equal, but identical token sequences collide at hamming 0 under ANY
+    // per-token hash; those pairs must appear in both outputs. sf0.001
+    // has no exact dups, so plant them: 0≡1 and 3≡4 duplicated, 2 apart.
+    val dir = Files.createTempDirectory("simhashmirror").toString
+    val dup1 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val dup2 = (50 to 90).map(i => s"tok$i").mkString(" ")
+    val lone = (200 to 260).map(i => s"z$i").mkString(" ")
+    Seq((0L, dup1), (1L, dup1), (2L, lone), (3L, dup2), (4L, dup2))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sameText = Set((0L, 1L), (3L, 4L))
+    val prod = Dedup.simhashPairs(spark, dir).filter("hamming = 0")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val mir = Dedup.simhashPairsMirrorable(spark, dir).filter("hamming = 0")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(sameText.subsetOf(prod), "production simhash missed a same-text pair")
+    assert(sameText.subsetOf(mir), "mirror simhash missed a same-text pair")
+  }
 }
