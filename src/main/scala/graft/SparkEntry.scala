@@ -143,7 +143,9 @@ object SparkEntry {
     "q83_dup_histogram"      -> ((s, d) => CorpusOps.dupHistogram(s, d)),
     // SimHash machinery on md5-nibble bits: the oracle-checked bridge for
     // q52 (xxhash64 stays the production hash; same majority/chunk/hamming)
-    "q52b_simhash_mirror"    -> ((s, d) => Dedup.simhashPairsMirrorable(s, d))
+    "q52b_simhash_mirror"    -> ((s, d) => Dedup.simhashPairsMirrorable(s, d)),
+    // count-min-pruned EXACT heavy hitters — no vocabulary-wide shuffle
+    "q84_heavy_hitters"      -> ((s, d) => TextAnalysis.heavyHitters(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -967,7 +969,15 @@ object SparkEntry {
         |SELECT sz, count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs,
         | CAST(sum(sz - 1) AS BIGINT) AS n_removable
         |FROM c GROUP BY sz ORDER BY sz""".stripMargin,
-    "q52b_simhash_mirror" -> simhashMirrorOracleSql()
+    "q52b_simhash_mirror" -> simhashMirrorOracleSql(),
+    // the sketch is a pruning device, not an approximation: one-sided CMS
+    // error ⇒ the output is exactly the HAVING form
+    "q84_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tk AS (SELECT token FROM t WHERE token <> '')
+        |SELECT token, count(*) AS n FROM tk GROUP BY 1
+        |HAVING count(*) >= (SELECT CAST(count(*) AS DOUBLE)/100 FROM tk)
+        |ORDER BY n DESC, token""".stripMargin
   )
 
   /** DuckDB mirror of [[graft.operators.Dedup.simhashPairsMirrorable]]:

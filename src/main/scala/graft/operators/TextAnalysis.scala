@@ -143,6 +143,58 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(topN)
 
+  /** Sketch-pruned EXACT heavy hitters: every token whose count is at
+    * least a `1/fraction` share of the corpus, with its exact count —
+    * without ever shuffling the full vocabulary. Two passes:
+    *
+    *   1. a count-min grid (`depth`×`width` counters) built as ONE
+    *      hash-agg whose key space is the grid cell, not the token —
+    *      partial aggregation caps per-partition state at depth·width
+    *      rows regardless of vocabulary size, and the shuffle moves at
+    *      most depth·width rows per partition;
+    *   2. each token occurrence looks its estimate up via `depth`
+    *      broadcast joins against the (bounded, ≤depth·width-row) grid —
+    *      est = min over rows, the classic CMS estimate, which NEVER
+    *      under-counts — and only surviving occurrences reach the exact
+    *      groupBy. Survivors are all-or-nothing per token (the estimate
+    *      is a function of the token), so the exact re-count over them
+    *      is the true count, and one-sided CMS error means recall is 1:
+    *      the output equals the exact `HAVING count >= total/fraction`.
+    *
+    * The direct form (q66) shuffles the vocabulary; at 100 TB a web-scale
+    * vocab (URLs, typos, code identifiers) is billions of keys, while this
+    * plan's shuffle volume is the fixed grid plus the (Zipf-tiny) set of
+    * actually-heavy tokens. The broadcast sides are provably bounded by
+    * depth·width, never corpus-derived.
+    */
+  def heavyHitters(s: SparkSession, d: String, fraction: Int = 100,
+                   depth: Int = 4, width: Int = 8192): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    def bucket(i: Int): Column =
+      pmod(xxhash64(lit(i), col("token")), lit(width)).cast("int")
+    val grid = tok
+      .select(posexplode(array((0 until depth).map(bucket): _*))
+        .as(Seq("dep", "bk")))
+      .groupBy(col("dep"), col("bk")).agg(count(lit(1)).as("c"))
+    val thr = tok.agg((count(lit(1)).cast("double") / fraction).as("thr"))
+    var est = tok
+    for (i <- 0 until depth) {
+      val gi = grid.filter(col("dep") === i)
+        .select(col("bk").as(s"bk$i"), col("c").as(s"c$i"))
+      est = est.withColumn(s"bk$i", bucket(i)).join(broadcast(gi), s"bk$i")
+    }
+    est
+      .withColumn("est", least((0 until depth).map(i => col(s"c$i")): _*))
+      .join(broadcast(thr))
+      .filter(col("est") >= col("thr"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"), first(col("thr")).as("t"))
+      .filter(col("n").cast("double") >= col("t"))
+      .select(col("token"), col("n"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   /** BPE tokenizer training (the first `k` merges): the classic algorithm
     * runs on the DISTINCT-WORD frequency table, never the corpus — one
     * corpus scan builds (word, count), and every merge iteration is an

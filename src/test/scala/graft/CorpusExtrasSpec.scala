@@ -22,6 +22,25 @@ class CorpusExtrasSpec extends AnyFunSuite {
     assert(out.forall { case (t, n, df) => t.nonEmpty && df <= n && df <= nDocs })
   }
 
+  test("heavyHitters: equals the exact HAVING form; narrow grid still exact") {
+    val docs = spark.read.parquet(SharedSpark.sf + "/documents.parquet")
+    val tok = docs.select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val total = tok.count().toDouble
+    val exact = tok.groupBy("token").count()
+      .filter(col("count") >= total / 100)
+      .as[(String, Long)].collect().toMap
+    val out = TextAnalysis.heavyHitters(spark, SharedSpark.sf)
+      .as[(String, Long)].collect()
+    assert(out.toMap == exact)
+    assert(out.map(_._2).sameElements(out.map(_._2).sorted.reverse))
+    // a 64-bucket grid forces collisions: extra CANDIDATES are possible but
+    // the exact re-count must still reject them — output unchanged
+    val narrow = TextAnalysis.heavyHitters(spark, SharedSpark.sf, width = 64)
+      .as[(String, Long)].collect()
+    assert(narrow.toMap == exact)
+  }
+
   test("sampleCorpus: deterministic, subset, ~2/16 of the corpus") {
     val a = CorpusOps.sampleCorpus(spark, SharedSpark.sf).collect()
     val b = CorpusOps.sampleCorpus(spark, SharedSpark.sf).collect()
