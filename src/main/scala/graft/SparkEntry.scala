@@ -145,7 +145,9 @@ object SparkEntry {
     // q52 (xxhash64 stays the production hash; same majority/chunk/hamming)
     "q52b_simhash_mirror"    -> ((s, d) => Dedup.simhashPairsMirrorable(s, d)),
     // count-min-pruned EXACT heavy hitters — no vocabulary-wide shuffle
-    "q84_heavy_hitters"      -> ((s, d) => TextAnalysis.heavyHitters(s, d))
+    "q84_heavy_hitters"      -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
+    // corpus encoded under the trained BPE model — vocab-sized merge work
+    "q85_bpe_encode"         -> ((s, d) => TextAnalysis.bpeEncode(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -977,7 +979,9 @@ object SparkEntry {
         |tk AS (SELECT token FROM t WHERE token <> '')
         |SELECT token, count(*) AS n FROM tk GROUP BY 1
         |HAVING count(*) >= (SELECT CAST(count(*) AS DOUBLE)/100 FROM tk)
-        |ORDER BY n DESC, token""".stripMargin
+        |ORDER BY n DESC, token""".stripMargin,
+    "q77_bpe_merges" -> bpeOracleSql(),
+    "q85_bpe_encode" -> bpeOracleSql(encode = true)
   )
 
   /** DuckDB mirror of [[graft.operators.Dedup.simhashPairsMirrorable]]:
@@ -1096,5 +1100,61 @@ object SparkEntry {
       |final AS ($union)
       |SELECT iter, cluster, CAST(n AS BIGINT) AS n, inertia FROM final
       |ORDER BY iter, cluster""".stripMargin
+  }
+
+  /** DuckDB mirror of [[graft.operators.TextAnalysis.bpeTrain]] — the
+    * full BPE training loop unrolled to `k` iterations. Each iteration:
+    * adjacent-pair counts over the current symbol strings (list-index
+    * pairs, no ORDINALITY), the argmax with the (n DESC, p1, p2)
+    * tie-break, then merge application as a RECURSIVE leftmost-
+    * occurrence replace over the sentinel-delimited form ' s1 s2 ... '.
+    * Leftmost-iterate ≡ the engine's greedy left-to-right fold: the
+    * merged symbol p1p2 is strictly longer than p1 and p2, so a
+    * replacement can never create a match to its left, and the space
+    * sentinels keep matches symbol-aligned. `encode=true` appends the
+    * corpus join: per-document whitespace vs BPE token counts (q85);
+    * otherwise the merge table itself is the result (q77).
+    */
+  private def bpeOracleSql(k: Int = 8, encode: Boolean = false): String = {
+    def iter(i: Int): String = {
+      val p = i - 1
+      s"""x$i AS MATERIALIZED (SELECT cnt, arr, unnest(generate_series(1, len(arr)-1)) AS j
+        |  FROM (SELECT cnt, string_split(sym, ' ') AS arr FROM w$p)),
+        |m$i AS MATERIALIZED (SELECT arr[j] AS p1, arr[j+1] AS p2, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM x$i GROUP BY 1, 2 ORDER BY n DESC, p1, p2 LIMIT 1),
+        |mp$i AS MATERIALIZED (SELECT ' '||p1||' '||p2||' ' AS pat, ' '||p1||p2||' ' AS rep FROM m$i),
+        |a$i AS (SELECT w, cnt, ' '||sym||' ' AS s FROM w$p
+        |  UNION ALL
+        |  SELECT a.w, a.cnt,
+        |    substr(a.s, 1, instr(a.s, m.pat)-1) || m.rep ||
+        |    substr(a.s, instr(a.s, m.pat) + length(m.pat))
+        |  FROM a$i a, mp$i m WHERE instr(a.s, m.pat) > 0),
+        |w$i AS MATERIALIZED (SELECT w, cnt, trim(s) AS sym FROM a$i a
+        |  WHERE NOT EXISTS (SELECT 1 FROM mp$i m WHERE instr(a.s, m.pat) > 0))"""
+        .stripMargin
+    }
+    val head =
+      s"""WITH RECURSIVE w0 AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+        |    array_to_string(string_split(w, ''), ' ') AS sym
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |${(1 to k).map(iter).mkString(",\n")}""".stripMargin
+    if (!encode) {
+      val union = (1 to k)
+        .map(i => s"SELECT $i AS iter, p1, p2, n FROM m$i").mkString(" UNION ALL ")
+      s"""$head,
+        |mg AS ($union)
+        |SELECT CAST(iter AS INT) AS iter, p1, p2, n FROM mg ORDER BY iter"""
+        .stripMargin
+    } else {
+      s"""$head,
+        |wm AS (SELECT w, len(string_split(sym, ' ')) AS nb FROM w$k),
+        |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(wm.nb) AS BIGINT) AS n_bpe
+        |FROM dt JOIN wm USING (w) WHERE dt.w <> ''
+        |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin
+    }
   }
 }

@@ -204,18 +204,29 @@ object TextAnalysis {
     * left-to-right merge fold over each word's symbol array. Output is
     * the merge table (iter, p1, p2, weight) a tokenizer would persist.
     *
-    * No SQL oracle (each iteration's argmax is data-dependent, so a
-    * static mirror can't name the merged pair); the spec hand-computes
-    * merges on a constructed corpus instead.
+    * Oracle-checked via a generated DuckDB mirror (SparkEntry.
+    * bpeOracleSql): each iteration's argmax is recomputed in SQL and
+    * applied by a leftmost-occurrence-replace recursive CTE over the
+    * sentinel-delimited symbol string — equivalent to the greedy fold
+    * because a merged symbol can never equal either pattern symbol, so
+    * no new match can appear left of a replacement.
     */
-  def bpeMerges(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+  def bpeMerges(s: SparkSession, d: String, k: Int = 8): DataFrame =
+    bpeTrain(s, d, k)._1
+
+  /** Training loop shared by q77 (the merge table) and q85 (corpus
+    * encoding): returns (merges, final words table (w, sym, cnt)).
+    */
+  private[operators] def bpeTrain(s: SparkSession, d: String,
+                                  k: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.types.{ArrayType, StringType}
     var words = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(filter(split(col("w"), ""), x => length(x) > 0).as("sym"), col("cnt"))
+      .select(col("w"),
+        filter(split(col("w"), ""), x => length(x) > 0).as("sym"), col("cnt"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
@@ -248,9 +259,30 @@ object TextAnalysis {
                 lit(null).cast(StringType).as("p")))
             .otherwise(struct(commitP(acc).as("out"), t.as("p"))),
           acc => commitP(acc))
-        words = words.select(mergedSym.as("sym"), col("cnt")).localCheckpoint(true)
+        words = words.select(col("w"), mergedSym.as("sym"), col("cnt"))
+          .localCheckpoint(true)
       }
     }
-    merges.toSeq.toDF("iter", "p1", "p2", "n").orderBy("iter")
+    (merges.toSeq.toDF("iter", "p1", "p2", "n").orderBy("iter"), words)
+  }
+
+  /** Corpus encoding under the trained BPE tokenizer (q85): the `k`-merge
+    * model from [[bpeTrain]] is applied to the DISTINCT-WORD table (the
+    * same vocabulary-sized table training ran on — encoding never touches
+    * the corpus row-by-row), and the per-word token count joins back to
+    * the exploded corpus for per-document totals. At 100 TB the encode
+    * pass is one corpus scan + a vocab-sized join (AQE broadcasts it);
+    * the iterative merge work stays on the Zipf-small vocabulary.
+    */
+  def bpeEncode(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    val words = bpeTrain(s, d, k)._2
+    val wmap = words.select(col("w"), size(col("sym")).as("nb"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(wmap, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nb")).cast("long").as("n_bpe"))
+      .orderBy("doc_id")
   }
 }

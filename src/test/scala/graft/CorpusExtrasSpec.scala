@@ -120,6 +120,26 @@ class CorpusExtrasSpec extends AnyFunSuite {
     assert(out.forall { case (_, p1, p2, _) => (p1 + p2).nonEmpty })
   }
 
+  test("bpeEncode: bounds hold and more merges never lengthen the encoding") {
+    val docs = spark.read.parquet(SharedSpark.sf + "/documents.parquet")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long").as("nw"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val k8 = TextAnalysis.bpeEncode(spark, SharedSpark.sf, k = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(k8.length == docs.size)
+    k8.foreach { case (id, nTok, nBpe) =>
+      val (nw, nc) = docs(id)
+      assert(nTok == nw)
+      // each word is >= 1 symbol and <= its character count
+      assert(nBpe >= nTok && nBpe <= nc, s"doc $id: $nBpe not in [$nTok, $nc]")
+    }
+    val k2 = TextAnalysis.bpeEncode(spark, SharedSpark.sf, k = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    k8.foreach { case (id, _, nBpe) => assert(nBpe <= k2(id)) }
+  }
+
   test("crossCorpusNearDup: one side in src0-9, other in src10-19; ≡ exhaustive cross-restriction") {
     val out = Dedup.crossCorpusNearDup(spark, SharedSpark.sf).collect()
     val docs = spark.read.parquet(SharedSpark.sf + "/documents.parquet")
