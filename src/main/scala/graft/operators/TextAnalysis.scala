@@ -245,25 +245,95 @@ object TextAnalysis {
       else {
         val (w1, w2, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((it, w1, w2, n))
-        // greedy left-to-right non-overlapping merge: fold carrying the
-        // previous uncommitted symbol ("a a a" merges the FIRST two)
-        val init = struct(
-          lit(Array.empty[String]).cast(ArrayType(StringType)).as("out"),
-          lit(null).cast(StringType).as("p"))
-        val commitP = (acc: Column) =>
-          when(acc.getField("p").isNull, acc.getField("out"))
-            .otherwise(concat(acc.getField("out"), array(acc.getField("p"))))
-        val mergedSym = aggregate(col("sym"), init,
-          (acc, t) => when(acc.getField("p") === w1 && t === w2,
-              struct(concat(acc.getField("out"), array(lit(w1 + w2))).as("out"),
-                lit(null).cast(StringType).as("p")))
-            .otherwise(struct(commitP(acc).as("out"), t.as("p"))),
-          acc => commitP(acc))
-        words = words.select(col("w"), mergedSym.as("sym"), col("cnt"))
-          .localCheckpoint(true)
+        words = words.select(col("w"), mergeFold(col("sym"), w1, w2).as("sym"),
+          col("cnt")).localCheckpoint(true)
       }
     }
     (merges.toSeq.toDF("iter", "p1", "p2", "n").orderBy("iter"), words)
+  }
+
+  /** Greedy left-to-right non-overlapping application of one merge to a
+    * symbol array: fold carrying the previous uncommitted symbol
+    * ("a a a" merges the FIRST two).
+    */
+  private def mergeFold(sym: Column, w1: String, w2: String): Column = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val init = struct(
+      lit(Array.empty[String]).cast(ArrayType(StringType)).as("out"),
+      lit(null).cast(StringType).as("p"))
+    val commitP = (acc: Column) =>
+      when(acc.getField("p").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("p"))))
+    aggregate(sym, init,
+      (acc, t) => when(acc.getField("p") === w1 && t === w2,
+          struct(concat(acc.getField("out"), array(lit(w1 + w2))).as("out"),
+            lit(null).cast(StringType).as("p")))
+        .otherwise(struct(commitP(acc).as("out"), t.as("p"))),
+      acc => commitP(acc))
+  }
+
+  /** Batched BPE training: per round, ONE pair-count job admits up to
+    * `batch` merges instead of one, and all admitted merges apply in one
+    * distributed pass — the per-iteration driver/job overhead that makes
+    * a 32k-merge schedule driver-loop-bound amortizes `batch`-fold.
+    *
+    * Admission is ranked order (n DESC, p1, p2) with a SYMBOL-DISJOINT
+    * filter: a pair is admitted only if neither symbol appears in any
+    * earlier admitted pair or its merged output. Disjointness makes the
+    * round's merges commute and keeps each admitted count exact as of the
+    * round start. The schedule can still diverge from strict BPE — a
+    * merge's OUTPUT can form new pairs that out-count the round's later
+    * admissions, which only the next round sees — so this is the
+    * documented approximate scale path; `batch = 1` is bit-identical to
+    * [[bpeMerges]] (spec-asserted), the q58-style exactness bridge.
+    */
+  def bpeMergesBatched(s: SparkSession, d: String, k: Int = 64,
+                       batch: Int = 16): DataFrame = {
+    import s.implicits._
+    var words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"),
+        filter(split(col("w"), ""), x => length(x) > 0).as("sym"), col("cnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (merges.size < k && !exhausted) {
+      val zw = zip_with(
+        slice(col("sym"), lit(1), size(col("sym")) - 1),
+        slice(col("sym"), lit(2), size(col("sym")) - 1),
+        (x, y) => struct(x.as("p1"), y.as("p2")))
+      val want = math.min(batch, k - merges.size)
+      // over-fetch: ranked candidates rejected by disjointness make room
+      val top = words
+        .select(col("cnt"), explode(zw).as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("p1"), col("p2"))
+        .limit(math.max(4 * want, 16)).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val admitted = top.iterator
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .filter { case (p1, p2, _) =>
+            val ok = !used(p1) && !used(p2)
+            if (ok) { used += p1; used += p2; used += (p1 + p2) }
+            ok
+          }
+          .take(want).toSeq
+        admitted.foreach { case (p1, p2, n) =>
+          merges += ((merges.size + 1, p1, p2, n))
+        }
+        val folded = admitted.foldLeft(col("sym")) {
+          case (c, (p1, p2, _)) => mergeFold(c, p1, p2)
+        }
+        words = words.select(col("w"), folded.as("sym"), col("cnt"))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq.toDF("iter", "p1", "p2", "n").orderBy("iter")
   }
 
   /** Corpus encoding under the trained BPE tokenizer (q85): the `k`-merge

@@ -120,6 +120,24 @@ class CorpusExtrasSpec extends AnyFunSuite {
     assert(out.forall { case (_, p1, p2, _) => (p1 + p2).nonEmpty })
   }
 
+  test("bpeMergesBatched: batch=1 is bit-identical to the sequential trainer; batched rounds are symbol-disjoint") {
+    val seq6 = TextAnalysis.bpeMerges(spark, SharedSpark.sf, k = 6)
+      .as[(Int, String, String, Long)].collect().toSeq
+    val b1 = TextAnalysis.bpeMergesBatched(spark, SharedSpark.sf, k = 6, batch = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(b1 == seq6)
+    val b4 = TextAnalysis.bpeMergesBatched(spark, SharedSpark.sf, k = 12, batch = 4)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(b4.length == 12 && b4.map(_._1) == (1 to 12) && b4.forall(_._4 > 0))
+    // within each round of 4, admitted pairs share no symbol (incl. outputs)
+    b4.grouped(4).foreach { round =>
+      val syms = round.flatMap { case (_, p1, p2, _) => Seq(p1, p2, p1 + p2) }
+      assert(syms.distinct.size == syms.size, s"round not disjoint: $round")
+    }
+    // the first merge of round 1 is the global argmax — same as sequential
+    assert(b4.head == seq6.head)
+  }
+
   test("bpeEncode: bounds hold and more merges never lengthen the encoding") {
     val docs = spark.read.parquet(SharedSpark.sf + "/documents.parquet")
       .select(col("doc_id"),
