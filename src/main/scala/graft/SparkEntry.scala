@@ -147,7 +147,9 @@ object SparkEntry {
     // count-min-pruned EXACT heavy hitters — no vocabulary-wide shuffle
     "q84_heavy_hitters"      -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     // corpus encoded under the trained BPE model — vocab-sized merge work
-    "q85_bpe_encode"         -> ((s, d) => TextAnalysis.bpeEncode(s, d))
+    "q85_bpe_encode"         -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
+    // reference-trained trigram LM, stupid backoff — real OOD filtering
+    "q86_trigram_lm"         -> ((s, d) => CorpusOps.trigramScore(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -981,7 +983,41 @@ object SparkEntry {
         |HAVING count(*) >= (SELECT CAST(count(*) AS DOUBLE)/100 FROM tk)
         |ORDER BY n DESC, token""".stripMargin,
     "q77_bpe_merges" -> bpeOracleSql(),
-    "q85_bpe_encode" -> bpeOracleSql(encode = true)
+    "q85_bpe_encode" -> bpeOracleSql(encode = true),
+    // reference slice = src0-4; alpha = 40% on the exact ppm grid
+    "q86_trigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, t,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |  FROM (SELECT doc_id, source, unnest(string_split(text,' ')) AS t,
+        |               unnest(range(len(string_split(text,' ')))) AS pos FROM documents)
+        |  WHERE len(t) > 0),
+        |bi AS (SELECT a.doc_id, a.source, a.t AS w1, b.t AS w2
+        |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+        |tri AS (SELECT a.doc_id, a.source, a.t AS w1, b.t AS w2, c.t AS w3
+        |        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+        |                   JOIN tok c ON a.doc_id = c.doc_id AND c.rn = a.rn + 2),
+        |rs AS (SELECT ['src0','src1','src2','src3','src4'] AS l),
+        |rt AS (SELECT w1 || ' ' || w2 || ' ' || w3 AS g, count(*) AS c123
+        |       FROM tri WHERE source IN (SELECT unnest(l) FROM rs) GROUP BY 1),
+        |r12 AS (SELECT w1 || ' ' || w2 AS g, count(*) AS c12
+        |        FROM bi WHERE source IN (SELECT unnest(l) FROM rs) GROUP BY 1),
+        |r1 AS (SELECT w1, count(*) AS c1
+        |       FROM bi WHERE source IN (SELECT unnest(l) FROM rs) GROUP BY 1),
+        |sc AS (SELECT t.doc_id,
+        |   CASE WHEN rt.c123 IS NOT NULL
+        |        THEN (CAST(rt.c123 AS HUGEINT) * 1000000) // ra.c12
+        |        WHEN rb.c12 IS NOT NULL
+        |        THEN (CAST(rb.c12 AS HUGEINT) * 1000000 * 40) // (r1.c1 * 100)
+        |        ELSE 0 END AS ppm
+        |  FROM tri t
+        |  LEFT JOIN rt ON rt.g = t.w1 || ' ' || t.w2 || ' ' || t.w3
+        |  LEFT JOIN r12 ra ON ra.g = t.w1 || ' ' || t.w2
+        |  LEFT JOIN r12 rb ON rb.g = t.w2 || ' ' || t.w3
+        |  LEFT JOIN r1 ON r1.w1 = t.w2)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  CAST(CAST(sum(ppm) AS HUGEINT) // count(*) AS BIGINT) AS lm3_ppm
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB mirror of [[graft.operators.Dedup.simhashPairsMirrorable]]:

@@ -353,6 +353,69 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Reference-trained trigram LM with stupid backoff (the full CCNet
+    * shape q81 approximates): n-gram counts come from the REFERENCE
+    * sources only (`refSources` — the curated in-domain slice), and every
+    * document is scored against that model, so unseen trigrams genuinely
+    * back off: p = c123/c12 when the trigram was seen in-reference, else
+    * α·c23/c2 from the bigram model, else 0 — all on the same exact
+    * integer ppm grid as q81 (α as a percent, still no floating point,
+    * engine-exact). Self-scored corpora make backoff vacuous (every
+    * observed n-gram has count ≥ 1); training on a slice is what turns
+    * this into a real out-of-domain filter.
+    *
+    * Shape: one lead-window pass builds bigram+trigram streams; THREE
+    * frequency tables (trigram, bigram — probed twice: context and
+    * backoff — and left-unigram), all hashed 64-bit so strings never
+    * shuffle, all map-side partial-agg'd and vocabulary-sized; four hash
+    * joins back; one per-doc agg. Linear in corpus size; the reference
+    * filter prunes the count side before any shuffle.
+    */
+  def trigramScore(s: SparkSession, d: String,
+                   refSources: Seq[String] = (0 to 4).map(i => s"src$i"),
+                   alphaPct: Int = 40): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .filter(length(col("t")) > 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val led = tok.select(col("doc_id"), col("source"), col("t"),
+      lead(col("t"), 1).over(w).as("t1"), lead(col("t"), 2).over(w).as("t2"))
+    val bi = led.filter(col("t1").isNotNull)
+    val tri = led.filter(col("t2").isNotNull)
+    val isRef = col("source").isin(refSources: _*)
+    val rt = tri.filter(isRef)
+      .groupBy(xxhash64(col("t"), col("t1"), col("t2")).as("h123"))
+      .agg(count(lit(1)).as("c123"))
+    val r12 = bi.filter(isRef)
+      .groupBy(xxhash64(col("t"), col("t1")).as("h12"))
+      .agg(count(lit(1)).as("c12"))
+    val r1 = bi.filter(isRef)
+      .groupBy(xxhash64(col("t")).as("h1")).agg(count(lit(1)).as("c1"))
+    val scored = tri.select(col("doc_id"),
+        xxhash64(col("t"), col("t1"), col("t2")).as("h123"),
+        xxhash64(col("t"), col("t1")).as("h12"),
+        xxhash64(col("t1"), col("t2")).as("h23"),
+        xxhash64(col("t1")).as("h2"))
+      .join(rt, Seq("h123"), "left")
+      .join(r12, Seq("h12"), "left")
+      .join(r12.select(col("h12").as("h23"), col("c12").as("c23")), Seq("h23"), "left")
+      .join(r1.select(col("h1").as("h2"), col("c1").as("c2")), Seq("h2"), "left")
+    val ppm = when(col("c123").isNotNull,
+        floor(col("c123").cast("decimal(38,0)") * 1000000 / col("c12")))
+      .when(col("c23").isNotNull,
+        floor(col("c23").cast("decimal(38,0)") * 1000000 * alphaPct /
+          (col("c2") * 100)))
+      .otherwise(lit(0L)).cast("long")
+    scored.select(col("doc_id"), ppm.as("ppm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("ppm")).as("sp"))
+      .select(col("doc_id"), col("n_trigrams"),
+        floor(col("sp").cast("decimal(38,0)") / col("n_trigrams"))
+          .cast("long").as("lm3_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicate-cluster size histogram: for each exact-duplicate cluster
     * size, how many clusters have it and how many documents (and how many
     * would be REMOVED by keep-one dedup). The one-line corpus diagnostic

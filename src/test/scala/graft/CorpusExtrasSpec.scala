@@ -223,6 +223,40 @@ class CorpusExtrasSpec extends AnyFunSuite {
     assert(scores(1L) == ((2L, 750000L)))
   }
 
+  test("trigramScore: hand-checked backoff on a constructed ref/ood corpus") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("trigram").toString
+    // ref doc "a b c a b c": tri counts abc=2,bca=1,cab=1;
+    // bi counts ab=2,bc=2,ca=1; left-unigram a=2,b=2,c=1
+    Seq((0L, "a b c a b c", "ref"), (1L, "a b c x", "ood"),
+        (2L, "z a b", "ood"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.trigramScore(spark, dir, refSources = Seq("ref"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // doc0 (self-ref): abc x2 -> 1e6 each, bca -> 1e6/2, cab -> 1e6/1
+    assert(out(0L) == ((4L, 875000L)))
+    // doc1: abc hit -> 1e6; bcx miss, backoff (c,x) not in ref -> 0
+    assert(out(1L) == ((2L, 500000L)))
+    // doc2: zab miss -> backoff p(b|a)=2/2 scaled by alpha 40% -> 400000
+    assert(out(2L) == ((1L, 400000L)))
+  }
+
+  test("trigramScore: ref docs score higher than the corpus at large") {
+    val out = CorpusOps.trigramScore(spark, SharedSpark.sf)
+      .as[(Long, Long, Long)].collect()
+    assert(out.forall { case (_, n, ppm) => n > 0 && ppm >= 0 && ppm <= 1000000 })
+    val refIds = spark.read.parquet(SharedSpark.sf + "/documents.parquet")
+      .filter(col("source").isin((0 to 4).map(i => s"src$i"): _*))
+      .select("doc_id").as[Long].collect().toSet
+    val (refS, oodS) = out.partition(r => refIds.contains(r._1))
+    assert(refS.nonEmpty && oodS.nonEmpty)
+    // in-domain (self-trained) docs must out-score out-of-domain ones
+    assert(refS.map(_._3).sum / refS.length > oodS.map(_._3).sum / oodS.length)
+  }
+
   test("dupHistogram: doc counts add back to the corpus, removable = docs - clusters") {
     val out = CorpusOps.dupHistogram(spark, SharedSpark.sf)
       .as[(Long, Long, Long, Long)].collect()
