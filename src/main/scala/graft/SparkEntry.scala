@@ -149,7 +149,17 @@ object SparkEntry {
     // corpus encoded under the trained BPE model — vocab-sized merge work
     "q85_bpe_encode"         -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     // reference-trained trigram LM, stupid backoff — real OOD filtering
-    "q86_trigram_lm"         -> ((s, d) => CorpusOps.trigramScore(s, d))
+    "q86_trigram_lm"         -> ((s, d) => CorpusOps.trigramScore(s, d)),
+    // MERGE INTO semantics: one full-outer shuffle applies U/D/I feed
+    "q87_merge_upsert"       -> ((s, d) => Cdc.mergeUpsert(s, d)),
+    // snapshot CDC diff by content hash — added/removed/changed
+    "q88_snapshot_diff"      -> ((s, d) => Cdc.snapshotDiff(s, d)),
+    // iterative PageRank, integer-ppm — engine-exact unrolled mirror
+    "q89_pagerank"           -> ((s, d) => Graph.pageRank(s, d)),
+    // per-source doc cap through the bounded-heap TopKPerKey operator
+    "q90_source_cap"         -> ((s, d) => CorpusOps.sourceCap(s, d)),
+    // exact type-1 quantiles on the value-histogram — no raw-row sort
+    "q91_hist_quantiles"     -> ((s, d) => CorpusOps.histQuantiles(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1017,7 +1027,101 @@ object SparkEntry {
         |  LEFT JOIN r1 ON r1.w1 = t.w2)
         |SELECT doc_id, count(*) AS n_trigrams,
         |  CAST(CAST(sum(ppm) AS HUGEINT) // count(*) AS BIGINT) AS lm3_ppm
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // deterministic U/D/I feed from md5 buckets; same resolution as Spark
+    "q87_merge_upsert" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey AS k, 'U' AS op, o_custkey AS c_ck,
+        |         o_totalprice + 100.0 AS c_price
+        |  FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)),1,1) IN ('0','1')
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', o_custkey, o_totalprice
+        |  FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)),1,1) = '2'
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'I', o_custkey, o_totalprice + 0.5
+        |  FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)),1,1) = '3')
+        |SELECT coalesce(b.o_orderkey, c.k) AS o_orderkey,
+        |       coalesce(c.c_ck, b.o_custkey) AS o_custkey,
+        |       CASE WHEN c.op IN ('U','I') THEN c.c_price
+        |            ELSE b.o_totalprice END AS o_totalprice,
+        |       CASE WHEN c.op = 'I' THEN 'insert'
+        |            WHEN c.op = 'U' THEN 'update'
+        |            ELSE 'base' END AS applied
+        |FROM orders b FULL OUTER JOIN chg c ON b.o_orderkey = c.k
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+    // snapshot B derived identically; diff by md5 content hash
+    "q88_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS h_a FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,1) = '1'
+        |                  THEN text || ' rev2' ELSE text END) AS h_b
+        |  FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)),1,1) <> '0'
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(text) FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)),1,1) = '2')
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |       CASE WHEN b.doc_id IS NULL THEN 'removed'
+        |            WHEN a.doc_id IS NULL THEN 'added'
+        |            WHEN a.h_a <> b.h_b THEN 'changed' END AS change
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |WHERE CASE WHEN b.doc_id IS NULL THEN 'removed'
+        |           WHEN a.doc_id IS NULL THEN 'added'
+        |           WHEN a.h_a <> b.h_b THEN 'changed' END IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    // 3 unrolled synchronous iterations of the same integer-ppm recurrence
+    "q89_pagerank" ->
+      """WITH rel AS (SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS sn
+        |             FROM lineitem),
+        |edges AS (SELECT p AS src, sn AS dst FROM rel
+        |          UNION ALL SELECT sn, p FROM rel),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS node, sum(r0.r // d.outdeg) AS csum
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |       JOIN r0 ON r0.node = e.src GROUP BY 1),
+        |r1 AS (SELECT n.node,
+        |       CAST(150000 + (17 * coalesce(c1.csum, 0)) // 20 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+        |c2 AS (SELECT e.dst AS node, sum(r1.r // d.outdeg) AS csum
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |       JOIN r1 ON r1.node = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |       CAST(150000 + (17 * coalesce(c2.csum, 0)) // 20 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
+        |c3 AS (SELECT e.dst AS node, sum(r2.r // d.outdeg) AS csum
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |       JOIN r2 ON r2.node = e.src GROUP BY 1),
+        |r3 AS (SELECT n.node,
+        |       CAST(150000 + (17 * coalesce(c3.csum, 0)) // 20 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
+        |SELECT node, r AS rank_ppm FROM r3
+        |ORDER BY rank_ppm DESC, node LIMIT 100""".stripMargin,
+    // total order (n_chars DESC, doc_id) makes rank ≡ row_number
+    "q90_source_cap" ->
+      """SELECT source, doc_id, n_chars, rnk FROM (
+        | SELECT source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |                     ORDER BY n_chars DESC, doc_id) AS rnk
+        | FROM documents) t
+        |WHERE rnk <= 50 ORDER BY source, rnk""".stripMargin,
+    // type-1 inverse-CDF on the value histogram, cross-multiplied integers
+    "q91_hist_quantiles" ->
+      """WITH hist AS (SELECT source, n_chars, count(*) AS cnt
+        |              FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT source, n_chars, cnt,
+        |        CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS total
+        |        FROM hist)
+        |SELECT source,
+        |  min(CASE WHEN cum * 2 >= total THEN n_chars END) AS p50,
+        |  min(CASE WHEN cum * 10 >= total * 9 THEN n_chars END) AS p90,
+        |  min(CASE WHEN cum * 100 >= total * 99 THEN n_chars END) AS p99,
+        |  max(total) AS n_docs
+        |FROM cum GROUP BY source ORDER BY source""".stripMargin
   )
 
   /** DuckDB mirror of [[graft.operators.Dedup.simhashPairsMirrorable]]:

@@ -454,4 +454,47 @@ object CorpusOps {
         round(col("total") / col("n_sources") / col("tokens"), 4).as("up_weight"))
       .orderBy("source")
   }
+
+  /** Per-source document cap (crawl curation: no domain may contribute
+    * more than `k` documents, keeping its longest). Routed through the
+    * library's bounded-heap TopKPerKey operator rather than a window:
+    * map-side partials cap each partition's contribution at k rows per
+    * source BEFORE the shuffle, so a pathological domain holding half the
+    * corpus moves k rows, not its whole skewed partition — the window
+    * row_number() plan would sort and shuffle every row of that domain.
+    */
+  def sourceCap(s: SparkSession, d: String, k: Int = 50): DataFrame =
+    graft.plans.TopK.perKey(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+      keyCols = Seq("source"),
+      sortCols = Seq(("n_chars", false), ("doc_id", true)),
+      k = k)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("rnk"))
+      .orderBy("source", "rnk")
+
+  /** Exact inverse-CDF quantiles (type-1: smallest value whose cumulative
+    * count reaches ⌈q·n⌉) of `n_chars` per source, computed on the
+    * VALUE-HISTOGRAM: groupBy (source, value) first, then one cumulative
+    * window over distinct values only. The shuffle carries
+    * |sources| × |distinct values| rows — corpus-size-independent for any
+    * bounded discrete domain — where `percentile()` (q15) sorts every raw
+    * row. Thresholds compare cross-multiplied integers (cum·100 ≥ 99·n ⟺
+    * cum ≥ ⌈0.99·n⌉), so the DuckDB mirror is exact by construction.
+    */
+  def histQuantiles(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables.documents(s, d)
+      .groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(
+        min(when(col("cum") * 2 >= col("total"), col("n_chars"))).as("p50"),
+        min(when(col("cum") * 10 >= col("total") * 9, col("n_chars"))).as("p90"),
+        min(when(col("cum") * 100 >= col("total") * 99, col("n_chars"))).as("p99"),
+        max(col("total")).as("n_docs"))
+      .orderBy("source")
+  }
 }

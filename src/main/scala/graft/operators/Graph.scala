@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over relationship tables — here PageRank on
+  * the part↔supplier supply graph mined from `lineitem`. The per-iteration
+  * plan is the canonical distributed shape: edges join ranks on the source
+  * node, hash-aggregate contributions by destination, left-join back onto
+  * the node set. Each iteration is exactly two shuffles (join + agg) over
+  * the edge set; the node/rank table is lineage-truncated between rounds
+  * so the DAG stays O(1) deep regardless of iteration count.
+  *
+  * All rank arithmetic is integer parts-per-million (`div`, no floats),
+  * so a DuckDB mirror that unrolls the same iterations reproduces every
+  * rank bit-for-bit — the engine-exact oracle pattern shared with the
+  * k-means/BPE/GD-classifier family. Multiplier 17/20 ≡ damping 0.85
+  * (floor(17c/20) = floor(850000c/1000000) for all non-negative c) keeps
+  * the product far from Long overflow even with hub contributions at
+  * large SF.
+  */
+object Graph {
+
+  /** Bidirectional edge list: part `p_partkey` ↔ supplier
+    * `1000000 + s_suppkey`, one edge per distinct supply relationship.
+    */
+  private def supplyEdges(s: SparkSession, d: String): DataFrame = {
+    val rel = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), (col("l_suppkey") + 1000000L).as("sn"))
+      .distinct()
+    rel.select(col("p").as("src"), col("sn").as("dst"))
+      .unionByName(rel.select(col("sn").as("src"), col("p").as("dst")))
+  }
+
+  /** PageRank, `iters` synchronous rounds from a uniform 1e6-ppm start:
+    * r'(v) = 150000 + floor(17 * Σ_{(u,v)∈E} floor(r(u)/outdeg(u)) / 20).
+    * Bidirectional edges mean every node has outdeg ≥ 1, so no dangling
+    * mass. Returns the top-`k` nodes by final rank (ties by node id).
+    */
+  def pageRank(s: SparkSession, d: String, iters: Int = 3, k: Int = 100): DataFrame = {
+    // materialize once: every iteration re-reads these, and without the
+    // checkpoint each round would rescan + re-distinct lineitem
+    val edges = supplyEdges(s, d).localCheckpoint(true)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint(true)
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(17 * coalesce(csum, 0L)) div 20")).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("r").as("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("node")).limit(k)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.{Cdc, CorpusOps, Graph}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the CDC pair (merge apply, snapshot diff), PageRank, and the
+  * histogram-quantile / source-cap corpus utilities.
+  */
+class CdcGraphSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("mergeUpsert: deletes gone, inserts added, updates shifted by +100") {
+    val base = spark.read.parquet(SharedSpark.sf + "/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        substring(md5(col("o_orderkey").cast("string")), 1, 1).as("b"))
+      .as[(Long, Double, String)].collect()
+    val out = Cdc.mergeUpsert(spark, SharedSpark.sf)
+      .select("o_orderkey", "o_totalprice", "applied")
+      .as[(Long, Double, String)].collect()
+    val byKey = out.map(r => r._1 -> r).toMap
+    assert(out.length == byKey.size, "merge output keys must be unique")
+    val nDel = base.count(_._3 == "2")
+    val nIns = base.count(_._3 == "3")
+    assert(out.length == base.length - nDel + nIns)
+    base.foreach { case (k, price, b) =>
+      b match {
+        case "2" => assert(!byKey.contains(k))
+        case "0" | "1" =>
+          assert(byKey(k)._2 == price + 100.0 && byKey(k)._3 == "update")
+        case _ =>
+          assert(byKey(k)._2 == price && byKey(k)._3 == "base")
+      }
+      if (b == "3")
+        assert(byKey(k + 100000000L)._3 == "insert")
+    }
+  }
+
+  test("snapshotDiff: classes partition exactly along the md5 buckets") {
+    val buckets = spark.read.parquet(SharedSpark.sf + "/documents.parquet")
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("b"))
+      .as[(Long, String)].collect().toMap
+    val out = Cdc.snapshotDiff(spark, SharedSpark.sf)
+      .as[(Long, String)].collect()
+    out.foreach { case (id, change) =>
+      change match {
+        case "removed" => assert(buckets(id) == "0")
+        case "changed" => assert(buckets(id) == "1")
+        case "added"   => assert(buckets(id - 1000000L) == "2")
+      }
+    }
+    assert(out.count(_._2 == "removed") == buckets.values.count(_ == "0"))
+    assert(out.count(_._2 == "changed") == buckets.values.count(_ == "1"))
+    assert(out.count(_._2 == "added") == buckets.values.count(_ == "2"))
+  }
+
+  test("pageRank: ranks positive, deterministic across runs, respects k") {
+    val a = Graph.pageRank(spark, SharedSpark.sf, iters = 2, k = 20)
+      .as[(Long, Long)].collect()
+    val b = Graph.pageRank(spark, SharedSpark.sf, iters = 2, k = 20)
+      .as[(Long, Long)].collect()
+    assert(a.sameElements(b), "two runs must be bit-identical")
+    assert(a.length == 20)
+    assert(a.forall(_._2 >= 150000L), "every rank >= the base mass")
+    assert(a.map(_._2).sameElements(a.map(_._2).sorted.reverse))
+  }
+
+  test("pageRank: 0 iterations preserves the uniform start") {
+    val r = Graph.pageRank(spark, SharedSpark.sf, iters = 0, k = 5)
+      .as[(Long, Long)].collect()
+    assert(r.forall(_._2 == 1000000L))
+  }
+
+  test("sourceCap: per-source sizes capped; members are the longest docs") {
+    val k = 7
+    val out = CorpusOps.sourceCap(spark, SharedSpark.sf, k = k)
+      .as[(String, Long, Long, Long)].collect()
+    val docs = spark.read.parquet(SharedSpark.sf + "/documents.parquet")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)].collect()
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val got = out.filter(_._1 == src)
+      assert(got.length == math.min(k, rows.length))
+      val expect = rows.sortBy(r => (-r._3, r._2)).take(k).map(_._2).toSet
+      assert(got.map(_._2).toSet == expect)
+      assert(got.map(_._4).sorted.sameElements(1L to got.length))
+    }
+  }
+
+  test("histQuantiles: matches sort-based type-1 quantiles per source") {
+    val out = CorpusOps.histQuantiles(spark, SharedSpark.sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val docs = spark.read.parquet(SharedSpark.sf + "/documents.parquet")
+      .select(col("source"), col("n_chars")).as[(String, Long)].collect()
+    def q(sorted: Array[Long], num: Int, den: Int): Long =
+      sorted((num.toLong * sorted.length + den - 1).toInt / den - 1)
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val row = out.find(_._1 == src).get
+      assert(row._2 == q(sorted, 1, 2), s"$src p50")
+      assert(row._3 == q(sorted, 9, 10), s"$src p90")
+      assert(row._4 == q(sorted, 99, 100), s"$src p99")
+      assert(row._5 == rows.length)
+    }
+  }
+}
