@@ -159,8 +159,46 @@ object SparkEntry {
     // per-source doc cap through the bounded-heap TopKPerKey operator
     "q90_source_cap"         -> ((s, d) => CorpusOps.sourceCap(s, d)),
     // exact type-1 quantiles on the value-histogram — no raw-row sort
-    "q91_hist_quantiles"     -> ((s, d) => CorpusOps.histQuantiles(s, d))
+    "q91_hist_quantiles"     -> ((s, d) => CorpusOps.histQuantiles(s, d)),
+    // q87's feed as a STREAM merged into initial-state keyed state —
+    // hash-checked against the same oracle as the batch MERGE
+    "q92_stream_merge"       -> ((s, d) => graft.streaming.StreamOps.streamMergeApply(s, d)),
+    // materialized-view upkeep: base agg ⊕ delta agg, no base rescan
+    "q93_incremental_agg"    -> ((s, d) => Cdc.incrementalAgg(s, d)),
+    // materialize q75's temperature mix by stochastic-rounded replication
+    "q94_apply_mix"          -> ((s, d) => CorpusOps.applyMix(s, d)),
+    // 3σ outliers via integer cross-multiplied moments — no floats at all
+    "q95_outliers"           -> ((s, d) => Profiler.outliers(s, d)),
+    // cross-table referential-integrity audit (orphan foreign keys)
+    "q96_ri_audit"           -> ((s, d) => QualityGate.riAudit(s, d)),
+    // per-source uniform k-sample through the bounded-heap operator
+    "q97_group_sample"       -> ((s, d) => CorpusOps.groupSample(s, d))
   )
+
+  /** The MERGE-apply oracle, shared by q87 (batch full-outer apply) and
+    * q92 (streaming state-store apply) — both must produce this table.
+    */
+  private val mergeApplySql: String =
+    """WITH chg AS (
+      |  SELECT o_orderkey AS k, 'U' AS op, o_custkey AS c_ck,
+      |         o_totalprice + 100.0 AS c_price
+      |  FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)),1,1) IN ('0','1')
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', o_custkey, o_totalprice
+      |  FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)),1,1) = '2'
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'I', o_custkey, o_totalprice + 0.5
+      |  FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)),1,1) = '3')
+      |SELECT coalesce(b.o_orderkey, c.k) AS o_orderkey,
+      |       coalesce(c.c_ck, b.o_custkey) AS o_custkey,
+      |       CASE WHEN c.op IN ('U','I') THEN c.c_price
+      |            ELSE b.o_totalprice END AS o_totalprice,
+      |       CASE WHEN c.op = 'I' THEN 'insert'
+      |            WHEN c.op = 'U' THEN 'update'
+      |            ELSE 'base' END AS applied
+      |FROM orders b FULL OUTER JOIN chg c ON b.o_orderkey = c.k
+      |WHERE c.op IS NULL OR c.op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -1028,28 +1066,85 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_trigrams,
         |  CAST(CAST(sum(ppm) AS HUGEINT) // count(*) AS BIGINT) AS lm3_ppm
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // deterministic U/D/I feed from md5 buckets; same resolution as Spark
-    "q87_merge_upsert" ->
-      """WITH chg AS (
-        |  SELECT o_orderkey AS k, 'U' AS op, o_custkey AS c_ck,
-        |         o_totalprice + 100.0 AS c_price
-        |  FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)),1,1) IN ('0','1')
+    // deterministic U/D/I feed from md5 buckets; same resolution as Spark.
+    // q92 (streaming apply into keyed state) must land on the identical
+    // final table, so it shares this oracle verbatim.
+    "q87_merge_upsert" -> mergeApplySql,
+    "q92_stream_merge" -> mergeApplySql,
+    // incremental base ⊕ delta ≡ full recompute (associative integer sums)
+    "q93_incremental_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // stochastic-rounding replication under the q75 weights; every copy
+    // decision is an exact HUGEINT cross-multiplication
+    "q94_apply_mix" ->
+      """WITH src AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |q AS (SELECT source, tokens,
+        |        CAST(round(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS sq
+        |      FROM src),
+        |w AS (SELECT source,
+        |        CAST(sq AS HUGEINT) * CAST(sum(tokens) OVER () AS HUGEINT) AS num,
+        |        CAST(sum(sq) OVER () AS HUGEINT) * CAST(tokens AS HUGEINT) AS den
+        |      FROM q),
+        |docs AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)),1,4)) AS INT) AS HUGEINT) AS u16,
+        |    w.num, w.den
+        |  FROM documents d JOIN w USING (source)),
+        |n AS (SELECT doc_id, source,
+        |        (num // den) + CASE WHEN u16 * den < (num % den) * 65536
+        |                            THEN 1 ELSE 0 END AS n_copies
+        |      FROM docs)
+        |SELECT doc_id, source, CAST(unnest(generate_series(1, CAST(n_copies AS BIGINT))) AS BIGINT) AS copy
+        |FROM n WHERE n_copies > 0
+        |ORDER BY doc_id, copy""".stripMargin,
+    // (x-μ)² > 4σ² cross-multiplied to integers: identical flags, no
+    // rounding boundary anywhere
+    "q95_outliers" ->
+      """WITH m AS (
+        |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(n_chars) AS HUGEINT) AS sx,
+        |         CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sxx
+        |  FROM documents GROUP BY 1)
+        |SELECT d.source, d.doc_id, d.n_chars
+        |FROM documents d JOIN m USING (source)
+        |WHERE (m.n * d.n_chars - m.sx) * (m.n * d.n_chars - m.sx)
+        |      > 4 * (m.n * m.sxx - m.sx * m.sx)
+        |ORDER BY source, doc_id""".stripMargin,
+    "q96_ri_audit" ->
+      """SELECT relation, n_rows, orphans FROM (
+        |  SELECT 'customer_nationkey' AS relation, count(*) AS n_rows,
+        |         count(CASE WHEN n.n_nationkey IS NULL THEN 1 END) AS orphans
+        |  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
         |  UNION ALL
-        |  SELECT o_orderkey, 'D', o_custkey, o_totalprice
-        |  FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)),1,1) = '2'
+        |  SELECT 'lineitem_orderkey', count(*),
+        |         count(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  UNION ALL
-        |  SELECT o_orderkey + 100000000, 'I', o_custkey, o_totalprice + 0.5
-        |  FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)),1,1) = '3')
-        |SELECT coalesce(b.o_orderkey, c.k) AS o_orderkey,
-        |       coalesce(c.c_ck, b.o_custkey) AS o_custkey,
-        |       CASE WHEN c.op IN ('U','I') THEN c.c_price
-        |            ELSE b.o_totalprice END AS o_totalprice,
-        |       CASE WHEN c.op = 'I' THEN 'insert'
-        |            WHEN c.op = 'U' THEN 'update'
-        |            ELSE 'base' END AS applied
-        |FROM orders b FULL OUTER JOIN chg c ON b.o_orderkey = c.k
-        |WHERE c.op IS NULL OR c.op <> 'D'
-        |ORDER BY o_orderkey""".stripMargin,
+        |  SELECT 'lineitem_partkey', count(*),
+        |         count(CASE WHEN p.p_partkey IS NULL THEN 1 END)
+        |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |  UNION ALL
+        |  SELECT 'lineitem_suppkey', count(*),
+        |         count(CASE WHEN s.s_suppkey IS NULL THEN 1 END)
+        |  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  UNION ALL
+        |  SELECT 'orders_custkey', count(*),
+        |         count(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+        |ORDER BY relation""".stripMargin,
+    // md5 rank = uniform permutation; total order makes rank ≡ row_number
+    "q97_group_sample" ->
+      """SELECT source, doc_id, rnk FROM (
+        | SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source
+        |                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        | FROM documents) t
+        |WHERE rnk <= 20 ORDER BY source, rnk""".stripMargin,
     // snapshot B derived identically; diff by md5 content hash
     "q88_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, md5(text) AS h_a FROM documents),

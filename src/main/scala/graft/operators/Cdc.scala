@@ -25,19 +25,25 @@ object Cdc {
     * expressed with vanilla Catalyst operators — the whole apply is one
     * shuffle on `o_orderkey` and stays whole-stage-codegen.
     */
+  /** The deterministic change feed shared by the batch MERGE (q87) and
+    * the streaming apply (q92): one op per key, buckets disjoint.
+    */
+  private[graft] def changeFeed(base: DataFrame): DataFrame = {
+    val b = bucket(col("o_orderkey"))
+    base.filter(b.isin("0", "1"))
+      .select(col("o_orderkey").as("k"), lit("U").as("op"),
+        col("o_custkey").as("c_ck"), (col("o_totalprice") + 100.0).as("c_price"))
+    .unionByName(base.filter(b === "2")
+      .select(col("o_orderkey").as("k"), lit("D").as("op"),
+        col("o_custkey").as("c_ck"), col("o_totalprice").as("c_price")))
+    .unionByName(base.filter(b === "3")
+      .select((col("o_orderkey") + 100000000L).as("k"), lit("I").as("op"),
+        col("o_custkey").as("c_ck"), (col("o_totalprice") + 0.5).as("c_price")))
+  }
+
   def mergeUpsert(s: SparkSession, d: String): DataFrame = {
     val base = Tables.orders(s, d)
-    val b = bucket(col("o_orderkey"))
-    val changes =
-      base.filter(b.isin("0", "1"))
-        .select(col("o_orderkey").as("k"), lit("U").as("op"),
-          col("o_custkey").as("c_ck"), (col("o_totalprice") + 100.0).as("c_price"))
-      .unionByName(base.filter(b === "2")
-        .select(col("o_orderkey").as("k"), lit("D").as("op"),
-          col("o_custkey").as("c_ck"), col("o_totalprice").as("c_price")))
-      .unionByName(base.filter(b === "3")
-        .select((col("o_orderkey") + 100000000L).as("k"), lit("I").as("op"),
-          col("o_custkey").as("c_ck"), (col("o_totalprice") + 0.5).as("c_price")))
+    val changes = changeFeed(base)
     base.join(changes, col("o_orderkey") === col("k"), "full_outer")
       .filter(col("op").isNull || col("op") =!= "D")
       .select(
@@ -61,6 +67,38 @@ object Cdc {
     * can be pre-pruned to docs whose (id, hash) pair is absent from the
     * other side via the same hashes).
     */
+  /** Incremental aggregate maintenance (materialized-view upkeep): a
+    * stored per-customer aggregate (simulated here as the bucket≠'f'
+    * slice) is brought up to date by merging the DELTA batch's partial
+    * aggregate — one full-outer join of two agg tables, never a rescan
+    * of the base facts. Works because the sums are associative integer
+    * partials (the q01 quantized-DECIMAL recipe), so base ⊕ delta is
+    * bit-identical to a full recompute — which is exactly what the
+    * oracle runs. At 100 TB this is the nightly-ETL shape: the base agg
+    * is a stored table and only delta-sized work happens per batch.
+    */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    def part(df: DataFrame): DataFrame = df.groupBy(col("o_custkey")).agg(
+      count(lit(1)).as("n"),
+      sum(round(col("o_totalprice") * 1e4).cast(LongType)
+        .cast(DecimalType(38, 0))).as("rev_q"))
+    val b = bucket(col("o_orderkey"))
+    val orders = Tables.orders(s, d)
+    val base = part(orders.filter(b =!= "f"))
+      .withColumnsRenamed(Map("n" -> "n_b", "rev_q" -> "rev_b"))
+    val delta = part(orders.filter(b === "f"))
+      .withColumnsRenamed(Map("n" -> "n_d", "rev_q" -> "rev_d", "o_custkey" -> "k"))
+    base.join(delta, col("o_custkey") === col("k"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("k")).as("o_custkey"),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n_orders"),
+        ((coalesce(col("rev_b"), lit(0).cast(DecimalType(38, 0)))
+          + coalesce(col("rev_d"), lit(0).cast(DecimalType(38, 0))))
+          .cast(DoubleType) / 1e4).as("revenue"))
+      .orderBy("o_custkey")
+  }
+
   def snapshotDiff(s: SparkSession, d: String): DataFrame = {
     val a = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), md5(col("text")).as("h_a"))

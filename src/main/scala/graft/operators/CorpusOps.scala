@@ -455,6 +455,51 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** MATERIALIZE the τ=0.5 temperature mix (q75 computes the weights;
+    * this applies them): each document is replicated
+    * n = ⌊w⌋ + [u < frac(w)] times, where w = expected/actual tokens for
+    * its source and u is a 16-bit uniform from the doc_id's md5 — the
+    * standard deterministic stochastic-rounding resample, reproducible
+    * across engines, executors and re-runs. All tests are exact-integer
+    * cross-multiplications on DECIMAL(38,0) (w = num/den never evaluated
+    * as a float: ⌊w⌋ = num div den, the frac test is u·den < rem·65536),
+    * so the DuckDB mirror replicates every copy decision bit-for-bit.
+    *
+    * Plan shape: one token-count agg builds the |sources|-row weight
+    * table (broadcast — provably bounded by source cardinality), one
+    * row-local sequence-explode emits the copies. No corpus shuffle at
+    * all; output expansion ≈ Σw is the operator's intrinsic cost.
+    */
+  def applyMix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val agg = Tables.documents(s, d)
+      .select(col("source"), size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tokens"))
+      .withColumn("sq", round(sqrt(col("tokens").cast("double")) * 1e6).cast("long"))
+    val all = Window.partitionBy()
+    val weights = agg
+      .withColumn("tot", sum(col("tokens")).over(all))
+      .withColumn("sqtot", sum(col("sq")).over(all))
+      .select(col("source"),
+        (col("sq").cast(dec) * col("tot").cast(dec)).as("num"),
+        (col("sqtot").cast(dec) * col("tokens").cast(dec)).as("den"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long").as("u16"))
+      .join(weights, "source")
+      .withColumn("n_copies",
+        expr("num div den") +
+          when(col("u16").cast(dec) * col("den") < (col("num") % col("den")) * lit(65536).cast(dec), 1L)
+          .otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
   /** Per-source document cap (crawl curation: no domain may contribute
     * more than `k` documents, keeping its longest). Routed through the
     * library's bounded-heap TopKPerKey operator rather than a window:
@@ -470,6 +515,25 @@ object CorpusOps {
       sortCols = Seq(("n_chars", false), ("doc_id", true)),
       k = k)
       .select(col("source"), col("doc_id"), col("n_chars"), col("rnk"))
+      .orderBy("source", "rnk")
+
+  /** Deterministic per-source UNIFORM k-sample (reservoir-equivalent):
+    * rank docs within each source by the md5 of their id (a uniform
+    * permutation independent of any data attribute) and keep the first
+    * `k`. Routed through the bounded-heap TopKPerKey operator, so each
+    * map partition ships at most k rows per source — the distributed
+    * reservoir without reservoir state. Complements [[sourceCap]]
+    * (biased to longest) and q67 (corpus-level md5 predicate).
+    */
+  def groupSample(s: SparkSession, d: String, k: Int = 20): DataFrame =
+    graft.plans.TopK.perKey(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("h")),
+      keyCols = Seq("source"),
+      sortCols = Seq(("h", true), ("doc_id", true)),
+      k = k)
+      .select(col("source"), col("doc_id"), col("rnk"))
       .orderBy("source", "rnk")
 
   /** Exact inverse-CDF quantiles (type-1: smallest value whose cumulative

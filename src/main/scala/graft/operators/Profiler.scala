@@ -30,4 +30,31 @@ object Profiler {
 
   def profileDocuments(s: SparkSession, d: String): DataFrame =
     profile(Tables.documents(s, d), Seq("doc_id", "lang", "n_chars", "source", "text"))
+
+  /** Per-group 2σ outliers with NO floating point: the z-score test
+    * (x−μ)² > 4σ² is cross-multiplied into the integer inequality
+    * (n·x − Σx)² > 4·(n·Σx² − (Σx)²), evaluated on DECIMAL(38,0) — both
+    * engines compute identical flags, no rounding boundary anywhere
+    * (the q16 moments lesson turned into a row-level predicate).
+    *
+    * Two passes over the grouped frame (one tiny moment agg per group,
+    * broadcast back — |groups| rows), flags computed row-locally in the
+    * scan. At 100 TB: one shuffle for the moments, zero for the flags.
+    */
+  def outliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val x = col("n_chars").cast(dec)
+    val m = Tables.documents(s, d)
+      .groupBy(col("source")).agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(x).as("sx"),
+        sum(x * x).as("sxx"))
+    Tables.documents(s, d)
+      .join(m, "source")
+      .withColumn("dev", col("n") * col("n_chars").cast(dec) - col("sx"))
+      .filter(col("dev") * col("dev") > lit(4).cast(dec) * (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .orderBy("source", "doc_id")
+  }
 }

@@ -34,4 +34,32 @@ object QualityGate {
 
   def checkDocuments(s: SparkSession, d: String): DataFrame =
     check(Tables.documents(s, d), documentRules)
+
+  /** Cross-TABLE referential-integrity audit (the ETL counterpart of the
+    * single-table gate): per foreign-key relation, total rows and orphan
+    * rows (fact key absent from the dimension). Each relation is one
+    * left join against the distinct dimension keys + one conditional
+    * aggregate; dimensions broadcast at any realistic scale and the fact
+    * side streams through its scan — adding a relation costs one scan of
+    * its fact table and nothing else.
+    */
+  def riAudit(s: SparkSession, d: String): DataFrame = {
+    def one(name: String, fact: DataFrame, fk: String,
+            dim: DataFrame, pk: String): DataFrame =
+      fact.join(dim.select(col(pk)).distinct(), fact(fk) === col(pk), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col(pk).isNull, 1)).as("orphans"))
+        .select(lit(name).as("relation"), col("n_rows"), col("orphans"))
+    one("customer_nationkey", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey")
+      .unionByName(one("lineitem_orderkey", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"))
+      .unionByName(one("lineitem_partkey", Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey"))
+      .unionByName(one("lineitem_suppkey", Tables.lineitem(s, d), "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"))
+      .unionByName(one("orders_custkey", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"))
+      .orderBy("relation")
+  }
 }

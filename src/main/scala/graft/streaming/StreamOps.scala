@@ -492,4 +492,64 @@ object StreamOps {
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.read.parquet(outDir).orderBy("doc_id")
   }
+
+  // staged CDC feed per sfDir (same lifecycle rationale as stagedDirs)
+  private val mergeFeedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** STREAMING CDC apply: the q87 change feed consumed as a stream and
+    * merged into keyed state seeded from the base table
+    * (`flatMapGroupsWithState` with `initialState` — the state store
+    * holds the current row version per key; updates overwrite, deletes
+    * remove, inserts create). The exec visits every key in
+    * data ∪ initialState on the first micro-batch, so the emissions ARE
+    * the final table (untouched keys emit their seeded state as `base`)
+    * — hash-checked against the SAME DuckDB oracle as the batch MERGE,
+    * which is the strongest bridge a stateful streaming operator gets
+    * (state-store apply ≡ one-shot relational apply).
+    *
+    * At 100 TB the initial state is the streaming restatement of a keyed
+    * table (shuffled once, partitioned by key into the state store);
+    * each micro-batch then does delta-sized work — the continuous
+    * counterpart of [[graft.operators.Cdc.incrementalAgg]].
+    */
+  def streamMergeApply(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val orders = graft.Tables.orders(s, d)
+    val changes = graft.operators.Cdc.changeFeed(orders)
+    val dir = mergeFeedDirs.getOrElseUpdate(d, {
+      val t = java.nio.file.Files.createTempDirectory("graft_cdc_feed").toString
+      changes.coalesce(1).write.mode("overwrite").parquet(t)
+      t
+    })
+    val feed = s.readStream.schema(changes.schema).parquet(dir)
+      .as[(Long, String, Long, Double)]
+    val initial = orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, ck, price) => (ck, price) }
+    val out = feed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout, initial) {
+        (k: Long, rows: Iterator[(Long, String, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) =>
+          var cur = state.getOption
+          var tag = "base"
+          rows.foreach { case (_, op, ck, price) => op match {
+            case "U" => cur = Some((ck, price)); tag = "update"
+            case "D" => cur = None; tag = "deleted"
+            case "I" => cur = Some((ck, price)); tag = "insert"
+          }}
+          cur match {
+            case Some((ck, price)) =>
+              state.update((ck, price)); Iterator((k, ck, price, tag))
+            case None =>
+              if (state.exists) state.remove(); Iterator.empty
+          }
+      }.toDF("o_orderkey", "o_custkey", "o_totalprice", "applied")
+    val name = runToMemory(out, "append", partsFor(d, "orders"),
+      useRocksDb(d, "orders"))
+    s.table(name).orderBy("o_orderkey")
+  }
 }

