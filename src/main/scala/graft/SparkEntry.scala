@@ -172,7 +172,13 @@ object SparkEntry {
     // cross-table referential-integrity audit (orphan foreign keys)
     "q96_ri_audit"           -> ((s, d) => QualityGate.riAudit(s, d)),
     // per-source uniform k-sample through the bounded-heap operator
-    "q97_group_sample"       -> ((s, d) => CorpusOps.groupSample(s, d))
+    "q97_group_sample"       -> ((s, d) => CorpusOps.groupSample(s, d)),
+    // content-addressed multimodal dedup: digest shuffle, payloads stay put
+    "q98_binary_dedup"       -> (Multimodal.binaryDedup _),
+    // blocked fuzzy matching: brand block + length band, codegen levenshtein
+    "q99_fuzzy_match"        -> ((s, d) => TextAnalysis.fuzzyPairs(s, d)),
+    // dirty-feed ingestion: malformed slice rejected as null, job survives
+    "q100_tolerant_parse"    -> (EventOps.tolerantParse _)
   )
 
   /** The MERGE-apply oracle, shared by q87 (batch full-outer apply) and
@@ -1137,6 +1143,36 @@ object SparkEntry {
         |         count(CASE WHEN c.c_custkey IS NULL THEN 1 END)
         |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
         |ORDER BY relation""".stripMargin,
+    // same blocking + verification predicate; DuckDB levenshtein ≡ Spark's
+    "q99_fuzzy_match" ->
+      """SELECT a.p_partkey AS a, b.p_partkey AS b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY a, b""".stripMargin,
+    // json_valid ⟺ from_json non-null on this feed (truncated objects are
+    // invalid in both engines); sum over surviving payloads only
+    "q100_tolerant_parse" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN substring(md5(CAST(event_id AS VARCHAR)),1,1) = '0'
+        |         THEN substring(props,1,3) ELSE props END AS p
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  count(CASE WHEN json_valid(p) THEN 1 END) AS n_parsed,
+        |  count(CASE WHEN NOT json_valid(p) THEN 1 END) AS n_rejected,
+        |  CAST(sum(CASE WHEN json_valid(p)
+        |                THEN CAST(json_extract(p, '$.k') AS INT) END) AS BIGINT) AS sum_k
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sha256 over the UTF-8 payload bytes — identical digests both engines
+    "q98_binary_dedup" ->
+      """WITH h AS (SELECT doc_id AS asset_id, sha256(text) AS h FROM documents)
+        |SELECT asset_id,
+        |  min(asset_id) OVER (PARTITION BY h) AS keeper,
+        |  count(*) OVER (PARTITION BY h) AS copies
+        |FROM h ORDER BY asset_id""".stripMargin,
     // md5 rank = uniform permutation; total order makes rank ≡ row_number
     "q97_group_sample" ->
       """SELECT source, doc_id, rnk FROM (

@@ -22,6 +22,32 @@ object EventOps {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** TOLERANT ingestion of malformed JSON (the dirty-feed reality every
+    * ETL pipeline handles): a deterministic md5-bucket slice of the feed
+    * is corrupted (truncated), `from_json` routes it to the
+    * `_corrupt_record` side-channel (PERMISSIVE semantics — the canonical
+    * tolerant-ingestion pattern), and the report counts accepted/rejected
+    * per type plus the aggregate over surviving payloads — bad records
+    * cost their scan bytes and nothing else, no job failure, no driver
+    * round-trip.
+    */
+  def tolerantParse(s: SparkSession, d: String): DataFrame = {
+    val corrupted = Tables.events(s, d).withColumn("p",
+      when(substring(md5(col("event_id").cast("string")), 1, 1) === "0",
+        substring(col("props"), 1, 3)).otherwise(col("props")))
+    corrupted
+      .withColumn("j",
+        from_json(col("p"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT, _corrupt STRING"),
+          Map("columnNameOfCorruptRecord" -> "_corrupt")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("j._corrupt").isNull, 1)).as("n_parsed"),
+        count(when(col("j._corrupt").isNotNull, 1)).as("n_rejected"),
+        sum(col("j").getField("k")).as("sum_k"))
+      .orderBy("event_type")
+  }
+
   /** Explode fan-out (reference: mapConcat package→versions, Main.scala:38)
     * over document tokens; post-explode row count is bounded per input
     * split by files.maxPartitionBytes.

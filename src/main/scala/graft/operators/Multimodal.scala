@@ -47,6 +47,24 @@ object Multimodal {
       sha2(col("payload"), 256).as("sha"))
       .orderBy("asset_id")
 
+  /** Content-addressed BINARY dedup (the checksum pass every multimodal
+    * corpus runs before any perceptual matching — LAION-style): assets
+    * grouped by payload digest, keeper = min asset id per cluster. ONE
+    * shuffle keyed by the 256-bit digest (payloads themselves never
+    * shuffle — the digest is computed in the scan); the window over the
+    * digest partition is bounded by duplicate-cluster size.
+    */
+  def binaryDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("h"))
+    assets(s, d)
+      .select(col("asset_id"), sha2(col("payload"), 256).as("h"))
+      .select(col("asset_id"),
+        min(col("asset_id")).over(w).as("keeper"),
+        count(lit(1)).over(w).as("copies"))
+      .orderBy("asset_id")
+  }
+
   // ------------------------------------------------------------------
   // STUB decode path. A real deployment replaces StubDecoder.decode with
   // an image/audio codec; everything around it (batching, schema,

@@ -181,6 +181,45 @@ class CdcGraphSpec extends AnyFunSuite {
     assert(again.sortBy(r => (r._1, r._3)).sameElements(out.sortBy(r => (r._1, r._3))))
   }
 
+  test("fuzzyPairs: canonical, within threshold, complete for one brand") {
+    val out = graft.operators.TextAnalysis.fuzzyPairs(spark, SharedSpark.sf)
+      .as[(Long, Long, Long)].collect()
+    assert(out.forall(p => p._1 < p._2 && p._3 <= 2))
+    // brute-force one brand and compare exactly
+    val parts = spark.read.parquet(SharedSpark.sf + "/part.parquet")
+      .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      .as[(Long, String, String)].collect()
+    val brand = parts.head._2
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val in = parts.filter(_._2 == brand)
+    val expect = (for {
+      x <- in; y <- in if x._1 < y._1
+      d = lev(x._3, y._3) if d <= 2
+    } yield (x._1, y._1, d.toLong)).toSet
+    val inKeys = in.map(_._1).toSet
+    assert(out.filter(p => inKeys(p._1) && inKeys(p._2)).toSet == expect)
+  }
+
+  test("tolerantParse: accepted + rejected = total; bad slice is bucket 0") {
+    val rows = graft.operators.EventOps.tolerantParse(spark, SharedSpark.sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, ok, bad, _) => assert(ok + bad == n) }
+    val events = Tables.events(spark, SharedSpark.sf)
+      .select(col("event_id")).as[Long].collect()
+    val expectBad = events.count(id =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).map("%02x".format(_)).mkString.head == '0')
+    assert(rows.map(_._4).sum == expectBad)
+  }
+
   test("histQuantiles: matches sort-based type-1 quantiles per source") {
     val out = CorpusOps.histQuantiles(spark, SharedSpark.sf)
       .as[(String, Long, Long, Long, Long)].collect()
