@@ -178,7 +178,11 @@ object SparkEntry {
     // blocked fuzzy matching: brand block + length band, codegen levenshtein
     "q99_fuzzy_match"        -> ((s, d) => TextAnalysis.fuzzyPairs(s, d)),
     // dirty-feed ingestion: malformed slice rejected as null, job survives
-    "q100_tolerant_parse"    -> (EventOps.tolerantParse _)
+    "q100_tolerant_parse"    -> (EventOps.tolerantParse _),
+    // deterministic 90/5/5 split manifest — no RNG, no leakage on re-runs
+    "q101_split_corpus"      -> ((s, d) => CorpusOps.splitCorpus(s, d)),
+    // join-key skew diagnostic: exact top-k heavy keys + ppm share
+    "q102_key_skew"          -> ((s, d) => Profiler.keySkew(s, d))
   )
 
   /** The MERGE-apply oracle, shared by q87 (batch full-outer apply) and
@@ -1143,6 +1147,24 @@ object SparkEntry {
         |         count(CASE WHEN c.c_custkey IS NULL THEN 1 END)
         |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
         |ORDER BY relation""".stripMargin,
+    // first md5 byte buckets 0..255: <230 train, <243 val, else test
+    "q101_split_corpus" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,2)) AS INT) AS BIGINT) AS u8
+        |  FROM documents)
+        |SELECT CASE WHEN u8 < 230 THEN 'train' WHEN u8 < 243 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |FROM t GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    // exact counts; ppm share by integer floor division
+    "q102_key_skew" ->
+      """WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM lineitem)
+        |SELECT key, cnt,
+        |  CAST((CAST(cnt AS HUGEINT) * 1000000) // total AS BIGINT) AS share_ppm
+        |FROM c, t ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
     // same blocking + verification predicate; DuckDB levenshtein ≡ Spark's
     "q99_fuzzy_match" ->
       """SELECT a.p_partkey AS a, b.p_partkey AS b,

@@ -517,6 +517,25 @@ object CorpusOps {
       .select(col("source"), col("doc_id"), col("n_chars"), col("rnk"))
       .orderBy("source", "rnk")
 
+  /** Deterministic train/val/test split (~90/5/5) by the first md5 byte
+    * of doc_id — row-local, RNG-free, identical across engines,
+    * executors and re-runs (the property a training pipeline needs so a
+    * re-materialized corpus never leaks val docs into train). Reports
+    * per (split, source) doc and token counts — the split manifest.
+    * One scan, one |splits×sources|-row aggregate.
+    */
+  def splitCorpus(s: SparkSession, d: String): DataFrame = {
+    val u8 = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("long")
+    Tables.documents(s, d)
+      .select(col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
+        when(u8 < 230, "train").when(u8 < 243, "val").otherwise("test").as("split"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .orderBy("split", "source")
+  }
+
   /** Deterministic per-source UNIFORM k-sample (reservoir-equivalent):
     * rank docs within each source by the md5 of their id (a uniform
     * permutation independent of any data attribute) and keep the first

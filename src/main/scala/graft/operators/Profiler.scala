@@ -41,6 +41,23 @@ object Profiler {
     * broadcast back — |groups| rows), flags computed row-locally in the
     * scan. At 100 TB: one shuffle for the moments, zero for the flags.
     */
+  /** Join-key SKEW report — the diagnostic that decides between a plain
+    * shuffle join, AQE skew splitting, and `Skew.saltedJoin`: the top-k
+    * heaviest values of a prospective join key with exact counts and
+    * integer-ppm share. One hash-agg keyed by the column (map-side
+    * partials) + TakeOrdered of the k heaviest — never a full sort.
+    */
+  def keySkew(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("cnt"))
+    val total = Tables.lineitem(s, d).agg(count(lit(1)).as("total"))
+    counts.crossJoin(total)
+      .select(col("key"), col("cnt"),
+        expr("(CAST(cnt AS DECIMAL(38,0)) * 1000000) div total").as("share_ppm"))
+      .orderBy(col("cnt").desc, col("key")).limit(k)
+  }
+
   def outliers(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)

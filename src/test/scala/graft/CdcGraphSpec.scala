@@ -220,6 +220,31 @@ class CdcGraphSpec extends AnyFunSuite {
     assert(rows.map(_._4).sum == expectBad)
   }
 
+  test("splitCorpus: splits partition the corpus, ratios near 90/5/5") {
+    val rows = CorpusOps.splitCorpus(spark, SharedSpark.sf)
+      .as[(String, String, Long, Long)].collect()
+    val total = spark.read.parquet(SharedSpark.sf + "/documents.parquet").count()
+    assert(rows.map(_._3).sum == total, "every doc lands in exactly one split")
+    val bySplit = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    assert(bySplit("train").toDouble / total > 0.8)
+  }
+
+  test("keySkew: agrees with a plain groupBy count; shares are floored ppm") {
+    val out = graft.operators.Profiler.keySkew(spark, SharedSpark.sf, k = 5)
+      .as[(Long, Long, Long)].collect()
+    val li = spark.read.parquet(SharedSpark.sf + "/lineitem.parquet")
+    val total = li.count()
+    val counts = li.groupBy(col("l_suppkey")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(out.length == 5)
+    out.foreach { case (key, cnt, ppm) =>
+      assert(counts(key) == cnt)
+      assert(ppm == cnt * 1000000L / total)
+    }
+    assert(out.map(_._2).sameElements(out.map(_._2).sorted.reverse))
+  }
+
   test("histQuantiles: matches sort-based type-1 quantiles per source") {
     val out = CorpusOps.histQuantiles(spark, SharedSpark.sf)
       .as[(String, Long, Long, Long, Long)].collect()
