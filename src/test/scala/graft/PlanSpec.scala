@@ -44,4 +44,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"expected AQE-chosen broadcast anti-joins at test SF")
   }
+
+  test("closing-session operators keep the scale contract: no forced hints") {
+    assert(broadcastHints(graft.operators.Cdc.mergeUpsert(spark, sf)) === 0)
+    assert(broadcastHints(graft.operators.Cdc.snapshotDiff(spark, sf)) === 0)
+    assert(broadcastHints(graft.operators.Cdc.incrementalAgg(spark, sf)) === 0)
+    assert(broadcastHints(graft.operators.CorpusOps.applyMix(spark, sf)) === 0)
+    assert(broadcastHints(graft.operators.Profiler.outliers(spark, sf)) === 0)
+    assert(broadcastHints(graft.operators.TextAnalysis.fuzzyPairs(spark, sf)) === 0)
+  }
+
+  test("TopKPerKey-routed caps plan the two-stage bounded heap (partial+final)") {
+    for (df <- Seq(graft.operators.CorpusOps.sourceCap(spark, sf, k = 5),
+                   graft.operators.CorpusOps.groupSample(spark, sf, k = 5))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert("TopKPerKey".r.findAllIn(plan).size == 2,
+        "expected partial AND final TopKPerKey stages")
+    }
+  }
+
+  test("fuzzy matching verifies on the distinct-name grid, not raw rows") {
+    val df = graft.operators.TextAnalysis.fuzzyPairs(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // levenshtein must sit above the distinct aggregate, not the raw scan
+    // self-join: the optimized plan applies it to the deduplicated name
+    // pairs (an Aggregate appears below the levenshtein filter's join)
+    assert(plan.contains("levenshtein"))
+    assert(plan.contains("Aggregate"),
+      "distinct (block, name) aggregate missing from the grid path")
+  }
 }
