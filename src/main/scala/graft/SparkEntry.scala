@@ -182,7 +182,9 @@ object SparkEntry {
     // deterministic 90/5/5 split manifest — no RNG, no leakage on re-runs
     "q101_split_corpus"      -> ((s, d) => CorpusOps.splitCorpus(s, d)),
     // join-key skew diagnostic: exact top-k heavy keys + ppm share
-    "q102_key_skew"          -> ((s, d) => Profiler.keySkew(s, d))
+    "q102_key_skew"          -> ((s, d) => Profiler.keySkew(s, d)),
+    // fuzzy ER in linear-output cluster form (dense-duplicate scale path)
+    "q103_fuzzy_clusters"    -> ((s, d) => TextAnalysis.fuzzyClusters(s, d))
   )
 
   /** The MERGE-apply oracle, shared by q87 (batch full-outer apply) and
@@ -1147,6 +1149,26 @@ object SparkEntry {
         |         count(CASE WHEN c.c_custkey IS NULL THEN 1 END)
         |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
         |ORDER BY relation""".stripMargin,
+    // recursive closure over the name graph ≡ min-label propagation:
+    // both compute each component's minimum node string
+    "q103_fuzzy_clusters" ->
+      """WITH RECURSIVE dn AS (SELECT DISTINCT p_brand AS blk, p_name AS nm FROM part),
+        |np AS (SELECT a.blk, a.nm AS na, b.nm AS nb
+        |       FROM dn a JOIN dn b ON a.blk = b.blk
+        |       WHERE a.nm < b.nm AND abs(length(a.nm) - length(b.nm)) <= 2
+        |         AND levenshtein(a.nm, b.nm) <= 2),
+        |e AS (SELECT blk || '|' || na AS src, blk || '|' || nb AS dst FROM np
+        |      UNION ALL SELECT blk || '|' || nb, blk || '|' || na FROM np),
+        |nodes AS (SELECT blk || '|' || nm AS node FROM dn),
+        |reach(a, b) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+        |rep AS (SELECT a AS node, min(b) AS rep FROM reach GROUP BY 1)
+        |SELECT p.p_partkey,
+        |  min(p.p_partkey) OVER (PARTITION BY rep.rep) AS keeper
+        |FROM part p JOIN rep ON rep.node = p.p_brand || '|' || p.p_name
+        |ORDER BY p_partkey""".stripMargin,
     // first md5 byte buckets 0..255: <230 train, <243 val, else test
     "q101_split_corpus" ->
       """WITH t AS (

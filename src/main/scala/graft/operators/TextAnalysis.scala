@@ -368,22 +368,57 @@ object TextAnalysis {
     * canonicalize. For unbounded name vocabularies the grid join swaps
     * for the LSH family (q51/q57) — same expansion step either way.
     */
-  def fuzzyPairs(s: SparkSession, d: String, maxDist: Int = 2): DataFrame = {
-    val p = Tables.part(s, d).select(
+  private def partNames(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
       col("p_partkey").as("k"), col("p_brand").as("blk"), col("p_name").as("nm"))
+
+  /** The vocabulary-sized verification core shared by [[fuzzyPairs]] and
+    * [[fuzzyClusters]]: similar DISTINCT-name pairs within a block.
+    */
+  private def namePairGrid(p: DataFrame, maxDist: Int): DataFrame = {
     val dn = p.select(col("blk"), col("nm")).distinct()
-    val namePairs = dn.withColumnRenamed("nm", "nm_a")
+    dn.withColumnRenamed("nm", "nm_a")
       .join(dn.withColumnRenamed("nm", "nm_b"), Seq("blk"))
       .filter(col("nm_a") <= col("nm_b"))
       .filter(abs(length(col("nm_a")) - length(col("nm_b"))) <= maxDist)
       .withColumn("dist", levenshtein(col("nm_a"), col("nm_b")).cast("long"))
       .filter(col("dist") <= maxDist)
-    namePairs
+  }
+
+  def fuzzyPairs(s: SparkSession, d: String, maxDist: Int = 2): DataFrame = {
+    val p = partNames(s, d)
+    namePairGrid(p, maxDist)
       .join(p.withColumnsRenamed(Map("k" -> "ka", "nm" -> "nm_a")), Seq("blk", "nm_a"))
       .join(p.withColumnsRenamed(Map("k" -> "kb", "nm" -> "nm_b")), Seq("blk", "nm_b"))
       .filter(col("nm_a") =!= col("nm_b") || col("ka") < col("kb"))
       .select(least(col("ka"), col("kb")).as("a"),
         greatest(col("ka"), col("kb")).as("b"), col("dist"))
       .orderBy("a", "b")
+  }
+
+  /** The LINEAR-OUTPUT form of fuzzy entity resolution — what a user
+    * materializes when duplicate clusters are dense and the pair set
+    * (q99) goes quadratic in the answer (the measured sf10 case:
+    * 64 names over 2 M parts ⇒ ~10⁹ true pairs): names connected by
+    * distance ≤ 2 collapse into clusters (min-label propagation on the
+    * vocabulary-sized name graph, `Dedup.resolveClusters`), every part
+    * maps to its cluster keeper (min part key). One row per part, the
+    * q50/q56 keeper-mapping pattern applied to fuzzy equivalence.
+    */
+  def fuzzyClusters(s: SparkSession, d: String, maxDist: Int = 2): DataFrame = {
+    val p = partNames(s, d)
+    val edges = namePairGrid(p, maxDist)
+      .filter(col("nm_a") =!= col("nm_b"))
+      .select(concat_ws("|", col("blk"), col("nm_a")).as("a"),
+        concat_ws("|", col("blk"), col("nm_b")).as("b"))
+    val reps = Dedup.resolveClusters(edges)
+      .withColumnRenamed("doc_id", "node")
+    val labeled = p.withColumn("node", concat_ws("|", col("blk"), col("nm")))
+      .join(reps, Seq("node"), "left")
+      .withColumn("rep", coalesce(col("rep"), col("node")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("rep"))
+    labeled
+      .select(col("k").as("p_partkey"), min(col("k")).over(w).as("keeper"))
+      .orderBy("p_partkey")
   }
 }

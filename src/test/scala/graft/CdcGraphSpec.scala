@@ -207,6 +207,19 @@ class CdcGraphSpec extends AnyFunSuite {
     assert(out.filter(p => inKeys(p._1) && inKeys(p._2)).toSet == expect)
   }
 
+  test("fuzzyClusters: pair-connected parts share a keeper; keepers minimal") {
+    val keeper = graft.operators.TextAnalysis.fuzzyClusters(spark, SharedSpark.sf)
+      .as[(Long, Long)].collect().toMap
+    assert(keeper.forall { case (k, rep) => rep <= k })
+    assert(keeper.values.toSet.forall(rep => keeper(rep) == rep),
+      "a keeper must be its own keeper")
+    val pairs = graft.operators.TextAnalysis.fuzzyPairs(spark, SharedSpark.sf)
+      .as[(Long, Long, Long)].collect()
+    pairs.foreach { case (a, b, _) =>
+      assert(keeper(a) == keeper(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
   test("tolerantParse: accepted + rejected = total; bad slice is bucket 0") {
     val rows = graft.operators.EventOps.tolerantParse(spark, SharedSpark.sf)
       .as[(String, Long, Long, Long, Long)].collect()
