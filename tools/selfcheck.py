@@ -12,6 +12,17 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
+# Generated scale dirs (graft.Scale) store events.ts as raw ns BIGINT;
+# normalize to the same µs timestamp Tables.withEventTs produces so the
+# event-family oracles run unchanged against any dir.
+ts_type = con.sql("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+if ts_type and ts_type[0] == "BIGINT":
+    con.sql("DROP VIEW events")
+    con.sql(f"""CREATE VIEW events AS
+        SELECT event_id, make_timestamp(ts // 1000) AS ts,
+               user_id, event_type, value, props
+        FROM '{sfdir}/events.parquet'""")
+
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 def norm(v):
