@@ -44,6 +44,8 @@ object SparkEntry {
     "q17_moving_avg"         -> (Relational.movingAvg _),
     "q17b_range_window"      -> (Relational.rangeWindow _),
     "q65_approx_distinct"    -> ((s, d) => Relational.approxDistinct(s, d)),
+    // q65's accuracy contract made driver-checkable: exact side + bound flag
+    "q65b_approx_distinct_bridge" -> ((s, d) => Relational.approxDistinctBridge(s, d)),
     "q18_asof_join"          -> (Relational.asofJoin _),
     "q19_range_join"         -> (Relational.rangeJoin _),
     // §2a reference-derived
@@ -167,7 +169,7 @@ object SparkEntry {
     "q93_incremental_agg"    -> ((s, d) => Cdc.incrementalAgg(s, d)),
     // materialize q75's temperature mix by stochastic-rounded replication
     "q94_apply_mix"          -> ((s, d) => CorpusOps.applyMix(s, d)),
-    // 3σ outliers via integer cross-multiplied moments — no floats at all
+    // 2σ outliers via integer cross-multiplied moments — no floats at all
     "q95_outliers"           -> ((s, d) => Profiler.outliers(s, d)),
     // cross-table referential-integrity audit (orphan foreign keys)
     "q96_ri_audit"           -> ((s, d) => QualityGate.riAudit(s, d)),
@@ -184,7 +186,9 @@ object SparkEntry {
     // join-key skew diagnostic: exact top-k heavy keys + ppm share
     "q102_key_skew"          -> ((s, d) => Profiler.keySkew(s, d)),
     // fuzzy ER in linear-output cluster form (dense-duplicate scale path)
-    "q103_fuzzy_clusters"    -> ((s, d) => TextAnalysis.fuzzyClusters(s, d))
+    "q103_fuzzy_clusters"    -> ((s, d) => TextAnalysis.fuzzyClusters(s, d)),
+    // PERCEPTUAL multimodal near-dup: batched decode → features → LSH+cosine
+    "q104_perceptual_neardup" -> ((s, d) => Multimodal.perceptualNearDup(s, d))
   )
 
   /** The MERGE-apply oracle, shared by q87 (batch full-outer apply) and
@@ -199,7 +203,8 @@ object SparkEntry {
       |  SELECT o_orderkey, 'D', o_custkey, o_totalprice
       |  FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)),1,1) = '2'
       |  UNION ALL
-      |  SELECT o_orderkey + 100000000, 'I', o_custkey, o_totalprice + 0.5
+      |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders), 'I',
+      |         o_custkey, o_totalprice + 0.5
       |  FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)),1,1) = '3')
       |SELECT coalesce(b.o_orderkey, c.k) AS o_orderkey,
       |       coalesce(c.c_ck, b.o_custkey) AS o_custkey,
@@ -967,6 +972,14 @@ object SparkEntry {
         |SELECT vec_id, round(list_cosine_similarity(embedding, qv),4) AS sim
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    // the estimate is engine-specific; its 10% accuracy contract is not —
+    // the oracle's constant-true flag hash-fails if any group's HLL
+    // estimate ever drifts out of bound
+    "q65b_approx_distinct_bridge" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS exact_cust,
+        |  CAST(1 AS BIGINT) AS within_10pct
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // radius-8 probe set covers all 2^8 buckets → identical to exhaustive
     "q61b_knn_ivf_full" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -1205,7 +1218,7 @@ object SparkEntry {
         |         THEN substring(props,1,3) ELSE props END AS p
         |  FROM events)
         |SELECT event_type, count(*) AS n,
-        |  count(CASE WHEN json_valid(p) THEN 1 END) AS n_parsed,
+        |  count(CASE WHEN COALESCE(json_valid(p), FALSE) THEN 1 END) AS n_parsed,
         |  count(CASE WHEN NOT json_valid(p) THEN 1 END) AS n_rejected,
         |  CAST(sum(CASE WHEN json_valid(p)
         |                THEN CAST(json_extract(p, '$.k') AS INT) END) AS BIGINT) AS sum_k
@@ -1234,7 +1247,8 @@ object SparkEntry {
         |                  THEN text || ' rev2' ELSE text END) AS h_b
         |  FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)),1,1) <> '0'
         |  UNION ALL
-        |  SELECT doc_id + 1000000, md5(text) FROM documents
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), md5(text)
+        |  FROM documents
         |  WHERE substring(md5(CAST(doc_id AS VARCHAR)),1,1) = '2')
         |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
         |       CASE WHEN b.doc_id IS NULL THEN 'removed'
@@ -1247,7 +1261,8 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // 3 unrolled synchronous iterations of the same integer-ppm recurrence
     "q89_pagerank" ->
-      """WITH rel AS (SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS sn
+      """WITH rel AS (SELECT DISTINCT l_partkey AS p,
+        |               l_suppkey + (SELECT max(l_partkey) + 1 FROM lineitem) AS sn
         |             FROM lineitem),
         |edges AS (SELECT p AS src, sn AS dst FROM rel
         |          UNION ALL SELECT sn, p FROM rel),
@@ -1296,7 +1311,10 @@ object SparkEntry {
         |  min(CASE WHEN cum * 10 >= total * 9 THEN n_chars END) AS p90,
         |  min(CASE WHEN cum * 100 >= total * 99 THEN n_chars END) AS p99,
         |  max(total) AS n_docs
-        |FROM cum GROUP BY source ORDER BY source""".stripMargin
+        |FROM cum GROUP BY source ORDER BY source""".stripMargin,
+    // the full perceptual chain mirrored: stub decode (md5-byte binning),
+    // the SAME ±1 hyperplane literals, within-bucket cosine
+    "q104_perceptual_neardup" -> Multimodal.perceptualOracleSql()
   )
 
   /** DuckDB mirror of [[graft.operators.Dedup.simhashPairsMirrorable]]:

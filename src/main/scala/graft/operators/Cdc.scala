@@ -18,7 +18,7 @@ object Cdc {
 
   /** MERGE INTO semantics (upsert + delete) applied declaratively:
     * deterministic change feed (buckets '0'/'1' → update price+100,
-    * '2' → delete, '3' → insert under key+100000000), then ONE full-outer
+    * '2' → delete, '3' → insert above the live keyspace), then ONE full-outer
     * join on the key with row-wise resolution:
     * matched D → drop; matched U → updated payload; unmatched I → new
     * row; otherwise the base row. Equivalent to Delta/Iceberg MERGE,
@@ -26,18 +26,23 @@ object Cdc {
     * shuffle on `o_orderkey` and stays whole-stage-codegen.
     */
   /** The deterministic change feed shared by the batch MERGE (q87) and
-    * the streaming apply (q92): one op per key, buckets disjoint.
+    * the streaming apply (q92): one op per key, buckets disjoint. The
+    * insert keys live at `o_orderkey + max(o_orderkey) + 1` — derived
+    * from the ACTUAL keyspace (a 1-row column-pruned aggregate,
+    * AQE-broadcast), not a fixed constant that a large-SF keyspace
+    * would grow past and collide with.
     */
   private[graft] def changeFeed(base: DataFrame): DataFrame = {
     val b = bucket(col("o_orderkey"))
+    val off = base.agg((max(col("o_orderkey")) + 1L).as("koff"))
     base.filter(b.isin("0", "1"))
       .select(col("o_orderkey").as("k"), lit("U").as("op"),
         col("o_custkey").as("c_ck"), (col("o_totalprice") + 100.0).as("c_price"))
     .unionByName(base.filter(b === "2")
       .select(col("o_orderkey").as("k"), lit("D").as("op"),
         col("o_custkey").as("c_ck"), col("o_totalprice").as("c_price")))
-    .unionByName(base.filter(b === "3")
-      .select((col("o_orderkey") + 100000000L).as("k"), lit("I").as("op"),
+    .unionByName(base.filter(b === "3").crossJoin(off)
+      .select((col("o_orderkey") + col("koff")).as("k"), lit("I").as("op"),
         col("o_custkey").as("c_ck"), (col("o_totalprice") + 0.5).as("c_price")))
   }
 
@@ -60,7 +65,7 @@ object Cdc {
   /** Snapshot diff (CDC bootstrap): compare two corpus snapshots by
     * content hash and emit `added` / `removed` / `changed` per document.
     * Snapshot B is derived deterministically (bucket '0' removed, '1'
-    * text-revised, '2' cloned under doc_id+1000000). The diff is one
+    * text-revised, '2' cloned above the live doc_id keyspace). The diff is one
     * full-outer join on doc_id comparing md5(text) — content hashes are
     * computed BEFORE the join so full texts never shuffle twice, and the
     * unchanged majority is filtered post-join (at 100 TB the join input
@@ -104,12 +109,14 @@ object Cdc {
       .select(col("doc_id"), col("source"), md5(col("text")).as("h_a"))
     val bkt = bucket(col("doc_id"))
     val docs = Tables.documents(s, d)
+    // clone ids sit above the actual keyspace (collision-free at any SF)
+    val off = docs.agg((max(col("doc_id")) + 1L).as("doff"))
     val bSnap = docs.filter(bkt =!= "0")
       .select(col("doc_id"),
         when(bkt === "1", concat(col("text"), lit(" rev2")))
           .otherwise(col("text")).as("text"))
-      .unionByName(docs.filter(bkt === "2")
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(bkt === "2").crossJoin(off)
+        .select((col("doc_id") + col("doff")).as("doc_id"), col("text")))
     val b2 = bSnap.select(col("doc_id").as("b_id"), md5(col("text")).as("h_b"))
     a.join(b2, col("doc_id") === col("b_id"), "full_outer")
       .select(

@@ -42,7 +42,10 @@ object EventOps {
           Map("columnNameOfCorruptRecord" -> "_corrupt")))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        count(when(col("j._corrupt").isNull, 1)).as("n_parsed"),
+        // gate on p IS NOT NULL: from_json(NULL) yields a null struct with
+        // a null _corrupt, which would misclassify a NULL payload as
+        // parsed — the oracle's json_valid(NULL) counts it as neither
+        count(when(col("j._corrupt").isNull && col("p").isNotNull, 1)).as("n_parsed"),
         count(when(col("j._corrupt").isNotNull, 1)).as("n_rejected"),
         sum(col("j").getField("k")).as("sum_k"))
       .orderBy("event_type")

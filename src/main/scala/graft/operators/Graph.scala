@@ -23,12 +23,20 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Bidirectional edge list: part `p_partkey` ↔ supplier
-    * `1000000 + s_suppkey`, one edge per distinct supply relationship.
+    * `max(l_partkey) + 1 + l_suppkey`, one edge per distinct supply
+    * relationship. The supplier-node offset is derived from the actual
+    * part keyspace (1-row column-pruned aggregate, AQE-broadcast) so
+    * the two node-id regions stay disjoint at any SF — a fixed constant
+    * collides once p_partkey outgrows it.
     */
   private def supplyEdges(s: SparkSession, d: String): DataFrame = {
-    val rel = Tables.lineitem(s, d)
-      .select(col("l_partkey").as("p"), (col("l_suppkey") + 1000000L).as("sn"))
+    val li = Tables.lineitem(s, d)
+    val off = li.agg((max(col("l_partkey")) + 1L).as("noff"))
+    val rel = li
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
       .distinct()
+      .crossJoin(off)
+      .select(col("p"), (col("sk") + col("noff")).as("sn"))
     rel.select(col("p").as("src"), col("sn").as("dst"))
       .unionByName(rel.select(col("sn").as("src"), col("p").as("dst")))
   }

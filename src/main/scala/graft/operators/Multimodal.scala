@@ -104,6 +104,128 @@ object Multimodal {
     }(enc)
   }
 
+  /** Dimension of the perceptual feature vector produced by the stub
+    * decoder — matches the embeddings table's Dim so the ANN/similarity
+    * machinery (hyperplane LSH, cell assignment) applies verbatim.
+    */
+  val PerceptualDim = 64
+
+  /** PERCEPTUAL feature extraction through the batched decode path: one
+    * decoder instance per partition (the codec-handle analog), payload
+    * bytes → 64-bin term histogram. The histogram is the deterministic
+    * stand-in for codec+CNN features — integer counts, so every
+    * downstream float op is exact and the whole perceptual chain is
+    * oracle-checkable cross-engine; a real deployment swaps ONLY this
+    * function's body (decode + embed), keeping schema and plan shape.
+    */
+  def perceptualFeatures(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    assets.select("asset_id", "payload").mapPartitions { rows =>
+      // decoder state initialized once per partition, reused row-to-row
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val f = new Array[Float](PerceptualDim)
+        var start = 0
+        var i = 0
+        def emit(from: Int, until: Int): Unit = if (until > from) {
+          md.reset()
+          md.update(payload, from, until - from)
+          f((md.digest()(0) & 0xFF) % PerceptualDim) += 1f
+        }
+        while (i < payload.length) {
+          if (payload(i) == 0x20) { emit(start, i); start = i + 1 }
+          i += 1
+        }
+        emit(start, payload.length)
+        Row(r.getLong(0), f.toSeq)
+      }
+    }(enc)
+  }
+
+  /** PERCEPTUAL near-dup over multimodal assets — the pipeline the
+    * checksum pass (q98) cannot cover: batched per-partition decode →
+    * deterministic feature vector → the q55 route verbatim
+    * (random-hyperplane LSH bucket blocking + within-bucket cosine with
+    * per-vector norms and the codegen'd dot). Candidate cost is
+    * Σ_bucket n_b² with `bits` as the scale dial, exactly like
+    * [[graft.operators.Similarity.lshBucket]]. Because the stub features
+    * are integer-valued, the cosine arithmetic is exact in both engines
+    * and the WHOLE chain — decode, histogram, bucket signs, cosine — is
+    * hash-checked by a DuckDB mirror ([[perceptualOracleSql]]).
+    *
+    * τ = 0.96 sits in the measured gap between the shared-vocabulary
+    * noise band (cos ≤ 0.94 at both test SFs — those pairs are Ω(n²/2^bits)
+    * and must NOT be emitted) and the true near-dup cluster (cos ≥ 0.96),
+    * so output size tracks actual duplication, not corpus size.
+    */
+  def perceptualNearDup(s: SparkSession, d: String, tau: Double = 0.96,
+                        bits: Int = 8): DataFrame =
+    perceptualPairsFrom(s, assets(s, d), tau, bits)
+
+  /** The decode→feature→LSH→cosine chain over an arbitrary asset frame
+    * (asset_id, payload) — split out so specs can feed constructed
+    * corpora with known duplicate structure.
+    */
+  private[graft] def perceptualPairsFrom(s: SparkSession, assetFrame: DataFrame,
+                                         tau: Double, bits: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    import graft.plans.GraftFunctions.{dot, norm}
+    val v = perceptualFeatures(assetFrame).select(
+      col("asset_id"), col("features"),
+      Similarity.lshBucket(col("features"), bits).as("bucket"),
+      norm(col("features")).as("nrm"))
+    v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+        col("a.asset_id") < col("b.asset_id"))
+      .withColumn("cos", round(
+        dot(col("a.features"), col("b.features")) /
+          (col("a.nrm") * col("b.nrm")), 4))
+      .filter(col("cos") >= tau)
+      .select(col("a.asset_id").as("a"), col("b.asset_id").as("b"), col("cos"))
+      .orderBy("a", "b")
+  }
+
+  /** DuckDB mirror of [[perceptualNearDup]]: recomputes the stub
+    * features in SQL (same md5-byte binning), the hyperplane bucket
+    * from the SAME ±1 plane literals the Spark expression uses, and the
+    * within-bucket cosine. All sums are over exact small integers, so
+    * both engines agree bit-for-bit before the 4dp round.
+    */
+  def perceptualOracleSql(tau: Double = 0.96, bits: Int = 8): String = {
+    val bucketExpr = Similarity.planesFor(bits).zipWithIndex.map { case (p, i) =>
+      val w = p.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(v, $w) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |tokb AS (
+       |  SELECT doc_id,
+       |    ((strpos('0123456789abcdef', substring(md5(t),1,1))-1)*16
+       |     + (strpos('0123456789abcdef', substring(md5(t),2,1))-1)) % $PerceptualDim AS bin
+       |  FROM tok WHERE length(t) > 0),
+       |cnts AS (SELECT doc_id, bin, count(*) AS c FROM tokb GROUP BY 1, 2),
+       |grid AS (SELECT d.doc_id, g.bin
+       |         FROM (SELECT DISTINCT doc_id FROM documents) d
+       |         CROSS JOIN (SELECT unnest(range($PerceptualDim)) AS bin) g),
+       |feat AS (SELECT g.doc_id,
+       |           list(CAST(coalesce(c.c, 0) AS DOUBLE) ORDER BY g.bin) AS v
+       |         FROM grid g LEFT JOIN cnts c
+       |           ON c.doc_id = g.doc_id AND c.bin = g.bin
+       |         GROUP BY g.doc_id),
+       |buck AS (SELECT doc_id, v,
+       |    $bucketExpr AS bucket
+       |  FROM feat)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |       round(list_cosine_similarity(a.v, b.v), 4) AS cos
+       |FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= $tau
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** Deterministic frame sampling: every stride-th byte window — the
     * plumbing shape of video frame extraction (payload → many rows).
     */

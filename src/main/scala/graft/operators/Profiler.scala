@@ -31,16 +31,6 @@ object Profiler {
   def profileDocuments(s: SparkSession, d: String): DataFrame =
     profile(Tables.documents(s, d), Seq("doc_id", "lang", "n_chars", "source", "text"))
 
-  /** Per-group 2σ outliers with NO floating point: the z-score test
-    * (x−μ)² > 4σ² is cross-multiplied into the integer inequality
-    * (n·x − Σx)² > 4·(n·Σx² − (Σx)²), evaluated on DECIMAL(38,0) — both
-    * engines compute identical flags, no rounding boundary anywhere
-    * (the q16 moments lesson turned into a row-level predicate).
-    *
-    * Two passes over the grouped frame (one tiny moment agg per group,
-    * broadcast back — |groups| rows), flags computed row-locally in the
-    * scan. At 100 TB: one shuffle for the moments, zero for the flags.
-    */
   /** Join-key SKEW report — the diagnostic that decides between a plain
     * shuffle join, AQE skew splitting, and `Skew.saltedJoin`: the top-k
     * heaviest values of a prospective join key with exact counts and
@@ -58,6 +48,16 @@ object Profiler {
       .orderBy(col("cnt").desc, col("key")).limit(k)
   }
 
+  /** Per-group 2σ outliers with NO floating point: the z-score test
+    * (x−μ)² > 4σ² is cross-multiplied into the integer inequality
+    * (n·x − Σx)² > 4·(n·Σx² − (Σx)²), evaluated on DECIMAL(38,0) — both
+    * engines compute identical flags, no rounding boundary anywhere
+    * (the q16 moments lesson turned into a row-level predicate).
+    *
+    * Two passes over the grouped frame (one tiny moment agg per group,
+    * broadcast back — |groups| rows), flags computed row-locally in the
+    * scan. At 100 TB: one shuffle for the moments, zero for the flags.
+    */
   def outliers(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)

@@ -39,9 +39,12 @@ object QualityGate {
     * single-table gate): per foreign-key relation, total rows and orphan
     * rows (fact key absent from the dimension). Each relation is one
     * left join against the distinct dimension keys + one conditional
-    * aggregate; dimensions broadcast at any realistic scale and the fact
-    * side streams through its scan — adding a relation costs one scan of
-    * its fact table and nothing else.
+    * aggregate; true dimensions (nation, part, supplier) broadcast at
+    * any realistic scale, while key-to-key relations like
+    * lineitem→orders plan as a shuffle join on the key (orders is
+    * fact-sized and must never broadcast — no hint is forced either
+    * way). Adding a relation costs one scan of its fact table plus
+    * that relation's join and nothing else.
     */
   def riAudit(s: SparkSession, d: String): DataFrame = {
     def one(name: String, fact: DataFrame, fk: String,

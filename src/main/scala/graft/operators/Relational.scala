@@ -398,6 +398,25 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** q65's oracle bridge: the HLL++ estimate itself is engine-specific,
+    * but its contracted ACCURACY is not — emit the exact per-group
+    * cardinality alongside an integer bound check
+    * |approx − exact| · 10 ≤ exact (10 % ≈ 4.3·rsd; observed ≤ ~2 %).
+    * DuckDB reproduces the exact side and the constant-true flag, so
+    * the driver hash-checks that every group's estimate lands in bound
+    * — the q61b pattern applied to sketch cardinality.
+    */
+  def approxDistinctBridge(s: SparkSession, d: String, rsd: Double = 0.023): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_cust"),
+        approx_count_distinct(col("o_custkey"), rsd).as("approx"))
+      .select(col("o_orderpriority"), col("exact_cust"),
+        (abs(col("approx") - col("exact_cust")) * 10 <= col("exact_cust"))
+          .cast("long").as("within_10pct"))
+      .orderBy("o_orderpriority")
+
   /** Time-series: daily revenue with a 7-row moving average. The single
     * unpartitioned window is fine for ~2.5k daily rows even at 100 TB
     * (the daily aggregate is tiny); the heavy lifting is the grouped agg.

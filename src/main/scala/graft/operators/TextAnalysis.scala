@@ -98,8 +98,11 @@ object TextAnalysis {
   /** TF-IDF scoring: explode → tf per (doc, token) → df per token →
     * tf·ln(N/df); top-100 scored terms. Corpus size N is a 1-row
     * aggregate cross-joined into the plan — one DAG, no separate
-    * count action re-scanning the corpus. df joins broadcast at any
-    * scale (vocabulary ≪ corpus).
+    * count action re-scanning the corpus. The df side carries NO
+    * forced broadcast: an open-vocabulary crawl's distinct-token
+    * table (URLs, hashes, typos) can reach tens of GB, where a hint
+    * is a driver OOM while the shuffle join on `token` is fine — AQE
+    * still broadcasts it at SFs where it measures in MBs (PlanSpec).
     */
   def tfidf(s: SparkSession, d: String, topN: Int = 100): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -109,8 +112,8 @@ object TextAnalysis {
       .filter(length(col("token")) > 0)
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), "token")
-      .crossJoin(broadcast(n))
+    tf.join(dfreq, "token")
+      .crossJoin(n)
       .select(col("doc_id"), col("token"),
         round(col("tf") * log(col("n") / col("df")), 4).as("tfidf"))
       .orderBy(col("tfidf").desc, col("doc_id"), col("token"))

@@ -21,6 +21,8 @@ class CdcGraphSpec extends AnyFunSuite {
       .as[(Long, Double, String)].collect()
     val byKey = out.map(r => r._1 -> r).toMap
     assert(out.length == byKey.size, "merge output keys must be unique")
+    // insert offset = max(o_orderkey)+1, derived from the live keyspace
+    val insOff = base.map(_._1).max + 1L
     val nDel = base.count(_._3 == "2")
     val nIns = base.count(_._3 == "3")
     assert(out.length == base.length - nDel + nIns)
@@ -33,7 +35,7 @@ class CdcGraphSpec extends AnyFunSuite {
           assert(byKey(k)._2 == price && byKey(k)._3 == "base")
       }
       if (b == "3")
-        assert(byKey(k + 100000000L)._3 == "insert")
+        assert(byKey(k + insOff)._3 == "insert")
     }
   }
 
@@ -44,11 +46,13 @@ class CdcGraphSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     val out = Cdc.snapshotDiff(spark, SharedSpark.sf)
       .as[(Long, String)].collect()
+    // clone offset = max(doc_id)+1, derived from the live keyspace
+    val cloneOff = buckets.keys.max + 1L
     out.foreach { case (id, change) =>
       change match {
         case "removed" => assert(buckets(id) == "0")
         case "changed" => assert(buckets(id) == "1")
-        case "added"   => assert(buckets(id - 1000000L) == "2")
+        case "added"   => assert(buckets(id - cloneOff) == "2")
       }
     }
     assert(out.count(_._2 == "removed") == buckets.values.count(_ == "0"))
@@ -104,6 +108,39 @@ class CdcGraphSpec extends AnyFunSuite {
       info("diff=" + streamed.filter(x => bm.get(x._1).exists(_ != x)).take(3).mkString(","))
     }
     assert(streamed.sortBy(_._1).sameElements(batch.sortBy(_._1)))
+  }
+
+  test("checkpointed CDC apply: seed paid once, warm passes delta-sized") {
+    import graft.streaming.StreamOps
+    val work = java.nio.file.Files.createTempDirectory("graft_cdc_spec").toString
+    val orders = Tables.orders(spark, SharedSpark.sf)
+    // pass 1 (cold): seeds the store from the base table, applies feed 1;
+    // emissions must equal the batch MERGE's touched (non-base) rows
+    val feed1 = Cdc.changeFeed(orders)
+    val (u1, e1) = StreamOps.cdcApplyPass(spark, SharedSpark.sf, work, Some(feed1))
+    val expected1 = Cdc.mergeUpsert(spark, SharedSpark.sf)
+      .filter(col("applied") =!= "base")
+      .as[(Long, Long, Double, String)].collect().sortBy(_._1)
+    val got1 = e1.as[(Long, Long, Double, String)].collect().sortBy(_._1)
+    assert(got1.sameElements(expected1))
+    // pass 2 (warm): 50 fresh updates on keys feed 1 never touched —
+    // the checkpoint restores the state, initialState must NOT re-seed
+    val feed2 = orders
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) > "3")
+      .orderBy("o_orderkey").limit(50)
+      .select(col("o_orderkey").as("k"), lit("U").as("op"),
+        col("o_custkey").as("c_ck"), (col("o_totalprice") + 7.0).as("c_price"))
+    val exp2 = feed2.as[(Long, String, Long, Double)].collect()
+      .map { case (k, _, ck, p) => (k, ck, p, "update") }.sortBy(_._1)
+    val (u2, e2) = StreamOps.cdcApplyPass(spark, SharedSpark.sf, work, Some(feed2))
+    val got2 = e2.as[(Long, Long, Double, String)].collect().sortBy(_._1)
+    assert(got2.sameElements(exp2))
+    assert(u2 <= 50L, s"warm pass wrote $u2 state rows — it re-seeded")
+    assert(u1 > u2, s"cold pass wrote $u1 rows, warm $u2")
+    // pass 3: no new feed files → no emissions, no state writes
+    val (u3, e3) = StreamOps.cdcApplyPass(spark, SharedSpark.sf, work, None)
+    assert(u3 === 0L)
+    assert(e3.count() === 0L)
   }
 
   test("incrementalAgg: base ⊕ delta equals the full recompute, bit-exact") {

@@ -1,8 +1,8 @@
 package graft
 
-import graft.operators.{Dedup, Pipeline, Relational}
+import graft.operators.{Dedup, Pipeline, Relational, TextAnalysis}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, ResolvedHint}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape guards for the scale contract: corpus-derived join sides
@@ -24,6 +24,9 @@ class PlanSpec extends AnyFunSuite {
     assert(broadcastHints(Dedup.minhashLsh(spark, sf)) === 0)
     assert(broadcastHints(Dedup.ngramJaccard(spark, sf)) === 0)
     assert(broadcastHints(Dedup.minhashApprox(spark, sf)) === 0)
+    // q44's df side is the corpus-derived vocabulary — same class: an
+    // open-vocab crawl's distinct-token table is tens of GB, no hint
+    assert(broadcastHints(TextAnalysis.tfidf(spark, sf)) === 0)
     // trainingCorpus embeds decontamination, whose BENCHMARK shingle set
     // is the one provably-bounded side allowed to keep its hint
     assert(broadcastHints(Pipeline.trainingCorpus(spark, sf)) === 1)
@@ -65,12 +68,20 @@ class PlanSpec extends AnyFunSuite {
 
   test("fuzzy matching verifies on the distinct-name grid, not raw rows") {
     val df = graft.operators.TextAnalysis.fuzzyPairs(spark, sf)
-    val plan = df.queryExecution.optimizedPlan.toString
-    // levenshtein must sit above the distinct aggregate, not the raw scan
-    // self-join: the optimized plan applies it to the deduplicated name
-    // pairs (an Aggregate appears below the levenshtein filter's join)
-    assert(plan.contains("levenshtein"))
-    assert(plan.contains("Aggregate"),
-      "distinct (block, name) aggregate missing from the grid path")
+    val plan = df.queryExecution.optimizedPlan
+    // levenshtein must apply to the deduplicated name grid, not the raw
+    // self-join: every node whose expressions invoke levenshtein must
+    // have (or be) a join with an Aggregate descendant on BOTH inputs —
+    // i.e. both sides were reduced to distinct (block, name) rows first
+    val levNodes = plan.collect {
+      case p if p.expressions.exists(_.find(_.prettyName == "levenshtein").isDefined) => p
+    }
+    assert(levNodes.nonEmpty, "levenshtein missing from the optimized plan")
+    val joins = levNodes.flatMap(_.collect { case j: Join => j })
+    assert(joins.nonEmpty, "levenshtein is not applied at/above a join")
+    assert(joins.forall { j =>
+      j.left.collectFirst { case a: Aggregate => a }.nonEmpty &&
+      j.right.collectFirst { case a: Aggregate => a }.nonEmpty
+    }, "levenshtein join must take distinct-name aggregates on both inputs")
   }
 }

@@ -49,6 +49,40 @@ class StreamAndMultimodalSpec extends AnyFunSuite {
     assert(row.getSeq[Double](1) === again.getSeq[Double](1))
   }
 
+  test("multimodal: perceptual features = 64-bin histogram summing to token count") {
+    val feats = Multimodal.perceptualFeatures(Multimodal.assets(spark, sf))
+    val byId = feats.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(byId.values.forall(_.length === Multimodal.PerceptualDim))
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    toks.foreach { case (id, n) => assert(byId(id).sum.toInt === n) }
+  }
+
+  test("multimodal: perceptual near-dup emits only tau-pairs, finds every clone at cos 1.0") {
+    val out = Multimodal.perceptualNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (a, b, c) => a < b && c >= 0.96 })
+    // constructed corpus: every doc cloned at id+10000 — identical
+    // payloads give identical features → identical bucket (no LSH miss
+    // possible) and cos exactly 1; recall on clone pairs must be total
+    val base = Multimodal.assets(spark, sf).limit(50)
+    val cloned = base.unionByName(
+      base.select((col("asset_id") + 10000L).as("asset_id"),
+        col("payload"), col("meta")))
+    val pairs = Multimodal.perceptualPairsFrom(spark, cloned, 0.96, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val found = pairs.map(t => ((t._1, t._2), t._3)).toMap
+    val ids = base.select("asset_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      assert(found.get((id, id + 10000L)).contains(1.0),
+        s"clone pair ($id, ${id + 10000L}) missing or not cos 1.0")
+    }
+  }
+
   test("multimodal: frame sampling yields bounded per-asset fan-out") {
     val frames = Multimodal.frameSample(Multimodal.assets(spark, sf), 16, 4)
     val counts = frames.groupBy("asset_id").agg(count(lit(1)).as("n"))
