@@ -17,6 +17,14 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // Shuffles START wide (8× the steady-state partition count) and AQE
+    // coalesces back by size: at small SFs this converges to the same
+    // plan, while at 100×+ a 600 M-row exchange lands in ~2 M-row
+    // partitions instead of 19 M-row ones that spill. Sizing the
+    // *initial* number high and letting AQE shrink is the scale-safe
+    // direction; the reverse (small initial) cannot be fixed at runtime.
+    .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      (shufflePartitions * 8).toString)
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)

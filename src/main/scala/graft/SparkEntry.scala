@@ -109,6 +109,14 @@ object SparkEntry {
                                     .orderBy("doc_id").select("doc_id", "text")),
     "q57_char_ngram_jaccard" -> ((s, d) => Dedup.charNgramJaccard(s, d)),
     "q71_crosscorpus_neardup" -> ((s, d) => Dedup.crossCorpusNearDup(s, d)),
+    // sub-document boilerplate removal (C4/Dolma paragraph pass)
+    "q105_paragraph_dedup"   -> ((s, d) => Dedup.paragraphDedup(s, d)),
+    // q71's semantics served from the PERSISTED bucketed LSH index
+    // (bands/sigs/shingles/sizes tables): corpus text never re-read,
+    // index side never shuffles — same exhaustive oracle as q71
+    "q106_lsh_index_probe"   -> ((s, d) => LshIndex.probe(s, d)),
+    // near-dup clusters, keep-LONGEST keeper (curation's usual rule)
+    "q107_dedup_keep_best"   -> ((s, d) => Dedup.dedupKeepBest(s, d)),
     // §2c similarity search
     "q60_knn_brute"          -> ((s, d) => Similarity.knnBrute(s, d)),
     "q61_knn_ivf"            -> ((s, d) => Similarity.knnLshIndexed(s, d)),
@@ -830,6 +838,70 @@ object SparkEntry {
         |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b
         |WHERE round(CAST(p.inter AS DOUBLE)/(sa.sz+sb.sz-p.inter),4) >= 0.5
         |ORDER BY 1,2""".stripMargin,
+    // Probing the persisted LSH index computes EXACTLY q71's answer (the
+    // index is a materialization of q71's corpus side, and verification
+    // is the same exact Jaccard) — so it shares q71's exhaustive oracle.
+    "q106_lsh_index_probe" ->
+      """WITH tok AS (SELECT doc_id, source, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text,' '))-2),
+        |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, len(sh) AS sz FROM tok),
+        |exa AS (SELECT doc_id, unnest(sh) AS s FROM tok WHERE source IN
+        |  ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')),
+        |exb AS (SELECT doc_id, unnest(sh) AS s FROM tok WHERE source NOT IN
+        |  ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')),
+        |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |          FROM exa a JOIN exb b ON a.s = b.s GROUP BY 1,2)
+        |SELECT p.a, p.b,
+        | round(CAST(p.inter AS DOUBLE)/(sa.sz+sb.sz-p.inter),4) AS jaccard
+        |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b
+        |WHERE round(CAST(p.inter AS DOUBLE)/(sa.sz+sb.sz-p.inter),4) >= 0.5
+        |ORDER BY 1,2""".stripMargin,
+    // Paragraph-level dedup: fixed 20-token paragraphs, keep-first by
+    // (doc_id, offset), documents reassembled from survivors in order.
+    "q105_paragraph_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents),
+        |paras AS (SELECT doc_id, st,
+        |    array_to_string(ts[st:st+19], ' ') AS ptext
+        |  FROM toks, LATERAL unnest(generate_series(1, len(ts), 20)) AS u(st)
+        |  WHERE len(ts) > 0),
+        |kept AS (SELECT doc_id, st, ptext,
+        |    row_number() OVER (PARTITION BY ptext ORDER BY doc_id, st) AS rn
+        |  FROM paras)
+        |SELECT doc_id, string_agg(ptext, ' ' ORDER BY st) AS text,
+        |       count(*) AS n_kept
+        |FROM kept WHERE rn = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Keep-longest near-dup resolution: q56's component structure
+    // (recursive reach over the exhaustive verified pair set), keeper =
+    // argmax(token count, tie min doc_id) per component.
+    "q107_dedup_keep_best" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text,' '))-2),
+        |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, len(sh) AS sz FROM tok),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+        |ipairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT p.a, p.b FROM ipairs p
+        |          JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b
+        |          WHERE round(CAST(p.inter AS DOUBLE)/(sa.sz+sb.sz-p.inter),4) >= 0.5),
+        |edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b AS x, a AS y FROM pairs),
+        |reach AS (SELECT x, y FROM edges
+        |          UNION
+        |          SELECT e.x, r.y FROM edges e JOIN reach r ON e.y = r.x),
+        |comp AS (SELECT x AS doc_id, least(x, min(y)) AS rep FROM reach GROUP BY x),
+        |ntok AS (SELECT doc_id, CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS BIGINT) AS n
+        |         FROM documents),
+        |ranked AS (SELECT c.doc_id, c.rep,
+        |    row_number() OVER (PARTITION BY c.rep ORDER BY n DESC, c.doc_id) AS rn
+        |  FROM comp c JOIN ntok USING (doc_id)),
+        |keepers AS (SELECT rep, doc_id AS keeper FROM ranked WHERE rn = 1)
+        |SELECT c.doc_id, k.keeper FROM comp c JOIN keepers k USING (rep)
+        |ORDER BY c.doc_id""".stripMargin,
     // Bloom pre-filter + exact confirmation computes EXACTLY q59's answer
     // (the sketch can only admit extra candidates; the exact semi-join
     // removes them) — so it shares q59's oracle verbatim.

@@ -100,6 +100,71 @@ object Dedup {
       .join(toDrop, Seq("doc_id"), "left_anti")
   }
 
+  /** Paragraph-level exact dedup — the SUB-document pass big-crawl
+    * pipelines (C4, Dolma) run before document-level dedup: boilerplate
+    * paragraphs (headers, license blocks, navigation) repeat across
+    * thousands of otherwise-distinct pages, and dropping the paragraph
+    * keeps the host document. Paragraph := fixed `para`-token window
+    * (the corpus text carries no newlines; a newline splitter is the
+    * same plan with a different first projection). A paragraph survives
+    * only at its FIRST corpus position (min (doc_id, offset)); documents
+    * are reassembled from their surviving paragraphs in order.
+    *
+    * Scale shape: NO window function and NO join-back — the keep-first
+    * rule is one `groupBy(ptext).agg(min(struct(doc_id, st)))`, whose
+    * map-side partial agg collapses duplicate paragraphs before the
+    * exchange (boilerplate is by definition high-frequency, so the
+    * partial agg eats it), and the winning struct already carries
+    * everything reassembly needs. Two shuffles total, both partial-agg'd;
+    * linear in corpus size.
+    */
+  def paragraphDedup(s: SparkSession, d: String, para: Int = 20): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val paras = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), size(col("ts")), lit(para))).as("st"))
+      .select(col("doc_id"), col("st"),
+        array_join(slice(col("ts"), col("st"), lit(para)), " ").as("ptext"))
+    paras
+      .groupBy(col("ptext"))
+      .agg(min(struct(col("doc_id"), col("st"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.st").as("st"), col("ptext"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("st"), col("ptext"))).as("ps"))
+      .select(col("doc_id"),
+        array_join(transform(array_sort(col("ps")), p => p.getField("ptext")), " ")
+          .as("text"),
+        size(col("ps")).cast("long").as("n_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup resolution, keep-LONGEST variant: q56 keeps each cluster's
+    * smallest doc_id; real corpus curation usually keeps the most
+    * complete copy (truncated mirrors and excerpt pages are the dups).
+    * Keeper := the cluster member with the most tokens, tie-broken to
+    * the smallest doc_id. Emits the (doc_id, keeper) mapping for every
+    * clustered doc — the table a curation pass joins against to swap
+    * losers for keepers. The argmax window runs on the CLUSTERED docs
+    * only (pair-set-sized, never corpus-sized).
+    */
+  def dedupKeepBest(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = resolveClusters(minhashLsh(s, d, tau))
+    val ntok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+    val w = Window.partitionBy(col("rep")).orderBy(col("n").desc, col("doc_id"))
+    val keepers = clusters.join(ntok, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("rep"), col("doc_id").as("keeper"))
+    clusters.join(keepers, "rep")
+      .select(col("doc_id"), col("keeper"))
+      .orderBy("doc_id")
+  }
+
   /** Exact dedup: hash-groupBy on md5(text); keeps the minimum doc_id as
     * the canonical representative. One shuffle on the 32-char hash.
     */
@@ -231,7 +296,7 @@ object Dedup {
   }
 
   /** inter(a,b) ⋈ sizes → rounded Jaccard ≥ τ, ordered. */
-  private def joinSizesAndScore(inter: DataFrame, sizes: DataFrame, tau: Double): DataFrame =
+  private[graft] def joinSizesAndScore(inter: DataFrame, sizes: DataFrame, tau: Double): DataFrame =
     inter
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")

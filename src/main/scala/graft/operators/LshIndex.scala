@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED MinHash-LSH index + incremental probe — the incremental-
+  * ingestion shape at 100 TB. q71 answers "which new docs near-dup the
+  * corpus" by recomputing BOTH sides per run; at scale the corpus side
+  * (signatures over 100 TB) dominates and never changes between crawls.
+  * This module materializes the corpus side ONCE as four bucketed tables
+  * — the dedup analog of the ANN family's persisted IVF index (q76c):
+  *
+  *  - `bands`    (doc_id, band, bkey)  bucketed by `bkey` — the probe
+  *    join key, so candidate generation plans NO exchange on the index
+  *    side (only the new batch, ~1000× smaller, shuffles);
+  *  - `sigs`     (doc_id, m0..m63)     bucketed by `doc_id` — feeds the
+  *    signature-agreement pre-filter;
+  *  - `shingles` (doc_id, h)           bucketed by `doc_id` — feeds
+  *    exact-Jaccard verification without re-reading corpus text;
+  *  - `sizes`    (doc_id, sz)          bucketed by `doc_id`.
+  *
+  * A probe touches corpus TEXT never and corpus parquet only through
+  * bucket-pruned joins; `append` folds a processed batch into the index
+  * so the next crawl dedups against it too. Probe output is exactly
+  * q71's (a ∈ corpus, b ∈ batch, jaccard ≥ τ) — same exhaustive DuckDB
+  * oracle.
+  */
+object LshIndex {
+
+  private[graft] val corpusSources: Seq[String] = (0 to 9).map(i => s"src$i")
+  val Buckets = 32
+
+  private def tbl(kind: String, d: String): String =
+    "graft_lshidx_" + kind + "_" + java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(d.hashCode))
+
+  /** Write the four index tables for `docs` (build or append). */
+  private def write(docs: DataFrame, d: String, mode: String): Unit = {
+    val sig = Dedup.signaturesRowLevel(docs).localCheckpoint(true)
+    val ex = Dedup.shinglesOf(docs).localCheckpoint(true)
+    def out(df: DataFrame, kind: String, key: String): Unit =
+      df.write.bucketBy(Buckets, key).sortBy(key)
+        .mode(mode).format("parquet").saveAsTable(tbl(kind, d))
+    out(Dedup.bandsOf(sig), "bands", "bkey")
+    out(sig, "sigs", "doc_id")
+    out(ex, "shingles", "doc_id")
+    out(ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")), "sizes", "doc_id")
+  }
+
+  /** Build the index over the EXISTING corpus (sources src0-src9), once
+    * per catalog: offline layout work a deployment maintains next to the
+    * corpus, like the ANN bucket index. A real deployment's metastore
+    * persists the bucketed-table metadata across sessions; the sandbox's
+    * in-memory catalog forgets it on JVM exit, so stale warehouse
+    * directories from a previous JVM are cleared and rebuilt (rebuild
+    * cost, not a correctness event).
+    */
+  def buildIndex(s: SparkSession, d: String): Unit = {
+    if (s.catalog.tableExists(tbl("bands", d))) return
+    val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("bands", "sigs", "shingles", "sizes").foreach { kind =>
+      val loc = java.nio.file.Paths.get(wh, tbl(kind, d))
+      if (java.nio.file.Files.exists(loc) && !s.catalog.tableExists(tbl(kind, d))) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    write(Tables.documents(s, d).filter(col("source").isin(corpusSources: _*)),
+      d, "overwrite")
+  }
+
+  /** Fold a processed batch into the index: the next crawl's probe then
+    * dedups against it too. Bucketed appends keep the layout — probes
+    * stay index-side-shuffle-free.
+    */
+  def append(s: SparkSession, docs: DataFrame, d: String): Unit =
+    write(docs, d, "append")
+
+  /** Probe the persisted index with a batch of NEW documents (default:
+    * every non-corpus source, matching q71). Candidates join on `bkey`
+    * ALONE — the band id is hashed INTO bkey (`bkey = xxhash64(band,
+    * mins…)`), so the single bucketed column carries the full band
+    * identity and band equality is just a residual guard; the index side
+    * reads pre-partitioned, only batch bands shuffle. Then the standard
+    * exact pipeline: agreement pre-filter on persisted signatures, exact
+    * Jaccard via persisted shingles. Output ≡ q71 (exhaustive oracle).
+    */
+  def probe(s: SparkSession, d: String, tau: Double = 0.5,
+            batchOpt: Option[DataFrame] = None): DataFrame = {
+    buildIndex(s, d)
+    val batch = batchOpt.getOrElse(
+      Tables.documents(s, d).filter(!col("source").isin(corpusSources: _*)))
+    val sigB = Dedup.signaturesRowLevel(batch).localCheckpoint(true)
+    val exB = Dedup.shinglesOf(batch).localCheckpoint(true)
+    val idxBands = s.table(tbl("bands", d))
+    val idxSigs = s.table(tbl("sigs", d))
+    val idxEx = s.table(tbl("shingles", d))
+    val idxSizes = s.table(tbl("sizes", d))
+    // Join on bkey ONLY: adding `band` as a key would make Spark demand
+    // co-partitioning on BOTH columns (requireAllClusterKeysForCoPartition)
+    // and re-shuffle the bucketed side. A cross-band bkey equality needs a
+    // 64-bit xxhash collision, and such a phantom candidate is then killed
+    // by agreement + exact verification — correctness is unaffected.
+    val candRaw = idxBands.as("a").join(Dedup.bandsOf(sigB).as("b"),
+        col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .dropDuplicates("a", "b")
+    val minAgree = math.max(0,
+      math.ceil((tau - 0.25) * Dedup.MinhashPerms).toInt)
+    val cand = candRaw
+      .join(idxSigs.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sigB.as("sb"), col("b") === col("sb.doc_id"))
+      .filter(Dedup.agreement("sa", "sb") >= minAgree)
+      .select(col("a"), col("b"))
+    val sizes = idxSizes.unionByName(
+      exB.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")))
+    val candA = idxEx.join(cand, col("doc_id") === col("a"))
+      .select(col("a"), col("b"), col("h"))
+    val inter = candA.join(exB.as("y"),
+        col("y.doc_id") === col("b") && col("y.h") === candA("h"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    Dedup.joinSizesAndScore(inter, sizes, tau)
+  }
+}

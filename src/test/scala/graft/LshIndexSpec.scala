@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{Dedup, LshIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LshIndexSpec extends AnyFunSuite {
+  import SharedSpark.{spark, sf}
+
+  test("probe from the persisted index equals the recompute-both-sides op (q71)") {
+    val fromIndex = LshIndex.probe(spark, sf).collect().map(_.toSeq).toSet
+    val recomputed = Dedup.crossCorpusNearDup(spark, sf).collect().map(_.toSeq).toSet
+    assert(fromIndex === recomputed)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("candidate join reads the index bucketed: exactly one exchange (probe side)") {
+    LshIndex.buildIndex(spark, sf)
+    val batch = Tables.documents(spark, sf)
+      .filter(!col("source").isin(LshIndex.corpusSources: _*))
+    val sigB = Dedup.signaturesRowLevel(batch)
+    val idxBands = spark.table("graft_lshidx_bands_" + java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(sf.hashCode)))
+    // At sf0.001 AQE just broadcasts the tiny index; disable broadcast to
+    // exercise the shuffle-join regime the bucketing exists for.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = idxBands.as("a").join(Dedup.bandsOf(sigB).as("b"),
+          col("a.bkey") === col("b.bkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("append folds a batch into the index; later probes dedup against it") {
+    // distinct index namespace ("/." resolves to the same data) so the
+    // mutation can't pollute the other tests' index for `sf`
+    val d = sf + "/."
+    val batchAll = Tables.documents(spark, d)
+      .filter(!col("source").isin(LshIndex.corpusSources: _*))
+    val half1 = batchAll.filter(col("doc_id") % 2 === 0)
+    val half2 = batchAll.filter(col("doc_id") % 2 === 1)
+    val before = LshIndex.probe(spark, d, batchOpt = Some(half2))
+      .collect().map(_.toSeq).toSet
+    LshIndex.append(spark, half1, d)
+    val after = LshIndex.probe(spark, d, batchOpt = Some(half2))
+      .collect().map(_.toSeq).toSet
+    // the appended docs can only ADD pairs, and every new pair's corpus
+    // side is an appended (even) doc
+    assert(before.subsetOf(after))
+    val newPairs = after -- before
+    assert(newPairs.nonEmpty) // replicas straddle the parity split
+    assert(newPairs.forall(r => r.head.asInstanceOf[Long] % 2 == 0))
+  }
+
+  test("paragraphDedup equals an independent window-based implementation") {
+    val para = 20
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val paras = Tables.documents(spark, sf)
+      .select(col("doc_id"), toks.as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), size(col("ts")), lit(para))).as("st"))
+      .select(col("doc_id"), col("st"),
+        array_join(slice(col("ts"), col("st"), lit(para)), " ").as("ptext"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ptext")).orderBy(col("doc_id"), col("st"))
+    val expected = paras
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("st"), col("ptext"))).as("ps"))
+      .select(col("doc_id"),
+        array_join(transform(array_sort(col("ps")), p => p.getField("ptext")), " ")
+          .as("text"),
+        size(col("ps")).cast("long").as("n_kept"))
+      .collect().map(_.toSeq).toSet
+    val got = Dedup.paragraphDedup(spark, sf).collect().map(_.toSeq).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("dedupKeepBest: keeper is the longest cluster member, mapping covers clustered docs") {
+    val mapping = Dedup.dedupKeepBest(spark, sf)
+    val ntok = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+    // keeper length ≥ every member's length within the same mapping group
+    val bad = mapping.as("m")
+      .join(ntok.as("td"), col("m.doc_id") === col("td.doc_id"))
+      .join(ntok.as("tk"), col("m.keeper") === col("tk.doc_id"))
+      .filter(col("td.n") > col("tk.n"))
+    assert(bad.count() === 0L)
+    // the mapped doc set = docs appearing in any near-dup pair
+    val pairs = Dedup.minhashLsh(spark, sf)
+    val paired = pairs.select(col("a").as("doc_id"))
+      .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
+    assert(mapping.select("doc_id").exceptAll(paired).count() === 0L)
+    assert(paired.exceptAll(mapping.select("doc_id")).count() === 0L)
+    // every keeper maps to itself
+    val keepers = mapping.select(col("keeper").as("doc_id")).distinct()
+    val selfMapped = mapping.filter(col("doc_id") === col("keeper"))
+      .select("doc_id").distinct()
+    assert(keepers.exceptAll(selfMapped).count() === 0L)
+  }
+}

@@ -33,6 +33,25 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(!plan.contains("Window"))
   }
 
+  test("adaptive partial passthrough (high-cardinality keys) is result-invariant") {
+    // Force the partial pass to re-evaluate after 64 rows: o_orderkey is
+    // unique, so keys ≈ rows and every map partition flips to
+    // passthrough mid-stream — the mixed flushed-heaps + raw-rows
+    // exchange must produce exactly the same answer as the combining
+    // plan (the final pass is the sole correctness authority).
+    val orders = Tables.orders(spark, sf)
+    val full = TopK.perKey(orders, Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk")).collect().toSet
+    spark.conf.set("spark.graft.topk.partialSampleRows", "64")
+    try {
+      val skipped = TopK.perKey(orders, Seq("o_custkey"),
+          Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk")).collect().toSet
+      assert(skipped === full)
+    } finally spark.conf.unset("spark.graft.topk.partialSampleRows")
+  }
+
   test("k larger than group size returns whole groups, ranks dense from 1") {
     val out = TopK.perKey(Tables.orders(spark, sf), Seq("o_custkey"),
         Seq(("o_totalprice", false), ("o_orderkey", true)), 1000000)
