@@ -19,28 +19,45 @@ object Bench {
     if (warmDir.nonEmpty) selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    // Untimed pre-passes, only for queries actually selected (a targeted
+    // re-measure must not pay for indexes it will not probe).
+    def picked(key: String): Boolean = selected.contains(key)
     // Build the ANN bucket index for the MEASURED dir here: it is
     // offline layout work (a write-once table a deployment maintains
     // next to the corpus), so q61's timed number is the probe-query
     // latency, not index construction. SCALE.md records both costs
     // separately (build ≈ data-write time; probe ≈ 1 s at sf0.1 AND 10×).
-    try graft.operators.Similarity.knnLshIndexed(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    if (picked("q61_knn_ivf") || picked("q61b_knn_ivf_full"))
+      try graft.operators.Similarity.knnLshIndexed(spark, sfDir).count()
+      catch { case _: Throwable => () }
     // And the LSH dedup index (q106): building the corpus-side tables is
     // the same write-once offline work — the timed number is the
     // incremental probe, which is the operation a deployment repeats.
-    try graft.operators.LshIndex.buildIndex(spark, sfDir)
-    catch { case _: Throwable => () }
+    if (picked("q106_lsh_index_probe"))
+      try graft.operators.LshIndex.buildIndex(spark, sfDir)
+      catch { case _: Throwable => () }
     // Same rationale for q92's state store: seeding the keyed state from
     // the base table is one-time deployment work (a persistent checkpoint
     // keeps it across runs — see StreamOps.cdcApplyPass), so the timed
     // number is the steady-state delta apply, not the bootstrap.
-    try graft.streaming.StreamOps.streamMergeApply(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    if (picked("q92_stream_merge"))
+      try graft.streaming.StreamOps.streamMergeApply(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    // SPARK_GRAFT_REPEAT=n times each query n× in the same JVM — rep 1
+    // includes cold page-cache/JIT effects, later reps are steady state
+    // (used for targeted A/Bs at the generated scale dirs).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val results = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      (1 to reps).map { i =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val t = (System.nanoTime() - t0) / 1e9
+        // Between reps, force the ContextCleaner to release the previous
+        // rep's shuffle files — otherwise they linger until an arbitrary
+        // GC and their disk/tmpfs footprint pollutes later reps.
+        if (reps > 1) System.gc()
+        (if (reps > 1) s"$name#$i" else name) -> t
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -12,7 +12,16 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   /** Apply Graft defaults to any builder (Verify/Bench/tests share this). */
-  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = b
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = {
+    // Shuffle/spill scratch space: a cluster executor writes shuffle
+    // files to local NVMe; this sandbox's default /tmp sits on the same
+    // virtio disk as the data. SPARK_GRAFT_LOCAL_DIR (e.g. a tmpfs)
+    // separates the two for scale measurements.
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").foreach { p =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      b.config("spark.local.dir", p)
+    }
+    b
     .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
@@ -24,12 +33,35 @@ object GraftSession {
     // *initial* number high and letting AQE shrink is the scale-safe
     // direction; the reverse (small initial) cannot be fixed at runtime.
     .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-      (shufflePartitions * 8).toString)
+      sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", (shufflePartitions * 8).toString))
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Runtime SMJ → shuffled-hash-join conversion: when a join side's
+    // per-partition map fits this budget, AQE swaps the sort-merge for a
+    // hash build — a 600 M-row fact side then never gets SORTED, the
+    // single biggest cost of the fact⋈fact joins at the 1000× point
+    // (measured 168→113 s on the sf100 5-table join). Static bucketed
+    // joins are untouched (no exchange ⇒ no AQE re-plan ⇒ they keep the
+    // sort-free SMJ their sorted layout gives them).
+    .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+      sys.env.getOrElse("SPARK_GRAFT_SHJ", (128L * 1024 * 1024).toString))
+    // Runtime Bloom-filter injection (posture, not a measured win here):
+    // a join side with a selective FILTER can plant a bloom on the join
+    // key into the other side's scan so the fact shuffle carries only
+    // rows that can join. The creation-side cap is raised from the 10 MB
+    // default so a tens-of-millions-key side may still build its bloom.
+    // Note the rule declines when the creation side's selectivity sits
+    // behind a JOIN rather than a predicate (q04's ASIA fifth — measured
+    // neutral, 23.5 s either way at the 1000× point), so this helps
+    // filter-shaped reductions only.
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_BLOOM", "true"))
+    .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      (2L * 1024 * 1024 * 1024).toString)
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.ui.enabled", "false")
+  }
 
   /** Local session for tests / ad-hoc runs. */
   def local(cores: Int = 4): SparkSession = {

@@ -36,15 +36,21 @@ object Scale {
   private val IdOffset = 1000000000L
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: Scale <srcDir> <outDir> <factor>")
+    require(args.length >= 3, "usage: Scale <srcDir> <outDir> <factor> [tables]")
     val Array(src, out, factorStr) = args.take(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val s = GraftSession.local(cpus.toInt)
-    scaleUp(s, src, out, factorStr.toInt)
+    // Optional 4th arg: comma-separated table subset — lets a factor that
+    // only fits partially on disk (e.g. 10000× orders without the 110 GB
+    // lineitem) still produce a measurable point.
+    val tables = args.lift(3).map(_.split(',').toSet)
+    scaleUp(s, src, out, factorStr.toInt, tables)
     s.stop()
   }
 
-  def scaleUp(s: SparkSession, src: String, out: String, factor: Int): Unit = {
+  def scaleUp(s: SparkSession, src: String, out: String, factor: Int,
+              tables: Option[Set[String]] = None): Unit = {
+    def want(t: String): Boolean = tables.forall(_.contains(t))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     val reps = s.range(factor.toLong).select(col("id").cast("int").as("rep"))
     def replicated(name: String): DataFrame =
@@ -53,26 +59,26 @@ object Scale {
       col(c) + col("rep") * IdOffset
 
     // single-copy dimensions
-    copySingle(s, src, out, "nation")
-    copySingle(s, src, out, "region")
+    if (want("nation")) copySingle(s, src, out, "nation")
+    if (want("region")) copySingle(s, src, out, "region")
 
-    writeSingle(replicated("customer")
+    if (want("customer")) writeSingle(replicated("customer")
       .withColumn("c_custkey", off("c_custkey")).drop("rep"), s"$out/customer.parquet")
-    writeSingle(replicated("supplier")
+    if (want("supplier")) writeSingle(replicated("supplier")
       .withColumn("s_suppkey", off("s_suppkey")).drop("rep"), s"$out/supplier.parquet")
-    writeSingle(replicated("part")
+    if (want("part")) writeSingle(replicated("part")
       .withColumn("p_partkey", off("p_partkey")).drop("rep"), s"$out/part.parquet")
-    writeSingle(replicated("orders")
+    if (want("orders")) writeSingle(replicated("orders")
       .withColumn("o_orderkey", off("o_orderkey"))
       .withColumn("o_custkey", off("o_custkey")).drop("rep"), s"$out/orders.parquet")
-    writeSingle(replicated("lineitem")
+    if (want("lineitem")) writeSingle(replicated("lineitem")
       .withColumn("l_orderkey", off("l_orderkey"))
       .withColumn("l_partkey", off("l_partkey"))
       .withColumn("l_suppkey", off("l_suppkey")).drop("rep"), s"$out/lineitem.parquet")
 
     // events: ts arrives (and leaves) as raw ns long
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    writeSingle(replicated("events")
+    if (want("events")) writeSingle(replicated("events")
       .withColumn("event_id", off("event_id"))
       .withColumn("user_id", off("user_id")).drop("rep"), s"$out/events.parquet")
 
@@ -99,7 +105,7 @@ object Scale {
       transform(split(col("text"), ""),
         c => when(c >= "a" && c <= "z",
           element_at(col("perm_arr"), ascii(c) - lit(96))).otherwise(c)), "")
-    writeSingle(replicated("documents")
+    if (want("documents")) writeSingle(replicated("documents")
       .withColumn("doc_id", off("doc_id"))
       .join(permDf, Seq("rep"), "left")
       .withColumn("text", when(col("rep") === 0, col("text")).otherwise(mapped))
@@ -112,7 +118,7 @@ object Scale {
     val masked = when(col("rep") === 0, col("embedding")).otherwise(
       transform(col("embedding"),
         (x, i) => when(pmod(hash(col("rep"), i), lit(2)) === 0, x).otherwise(-x)))
-    writeSingle(replicated("embeddings")
+    if (want("embeddings")) writeSingle(replicated("embeddings")
       .withColumn("vec_id", off("vec_id"))
       .withColumn("embedding", masked.cast("array<float>"))
       .withColumn("label", (col("label") + col("rep") * 1000).cast("int"))

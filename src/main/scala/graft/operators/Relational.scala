@@ -113,10 +113,20 @@ object Relational {
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA"))
-    Tables.lineitem(s, d)
-      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
-        col("l_orderkey") === col("o_orderkey"))
+    // Dims join FIRST: the broadcast filter cuts orders to the ASIA fifth
+    // before the fact⋈fact join, so the big join builds on 30 M orders
+    // instead of 150 M and constructs 120 M output rows instead of 600 M.
+    // With AQE's SMJ→shuffled-hash conversion (GraftSession) the 600 M
+    // lineitem side is then never sorted — together 118.7 → 23.5 s
+    // steady-state at the 1000× point (SCALE.md round-3 table).
+    // (A per-order pre-aggregation was measured here and REJECTED: a
+    // partial agg keyed by a near-unique key builds partition-sized hash
+    // maps that spill to sort-based fallback — ~3.5× slower at 1000×; the
+    // TopKPerKey adaptive-skip lesson in aggregate form.)
+    val ordAsia = Tables.orders(s, d).select("o_orderkey", "o_custkey")
       .join(dims, col("o_custkey") === col("c_custkey"))
+    Tables.lineitem(s, d)
+      .join(ordAsia, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"))
       .agg(round(qsum(
         qz(col("l_extendedprice")) * (lit(10000L) - qz(col("l_discount"))), 1e8), 4)
