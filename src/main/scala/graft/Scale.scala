@@ -35,6 +35,9 @@ object Scale {
 
   private val IdOffset = 1000000000L
 
+  private val KnownTables = Set("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: Scale <srcDir> <outDir> <factor> [tables]")
     val Array(src, out, factorStr) = args.take(3)
@@ -42,8 +45,15 @@ object Scale {
     val s = GraftSession.local(cpus.toInt)
     // Optional 4th arg: comma-separated table subset — lets a factor that
     // only fits partially on disk (e.g. 10000× orders without the 110 GB
-    // lineitem) still produce a measurable point.
+    // lineitem) still produce a measurable point. Unknown names fail fast:
+    // a typo ("lineitems") would otherwise produce an output dir silently
+    // missing the table with exit code 0.
     val tables = args.lift(3).map(_.split(',').toSet)
+    tables.foreach { t =>
+      val unknown = t -- KnownTables
+      require(unknown.isEmpty,
+        s"unknown tables: ${unknown.mkString(",")} (known: ${KnownTables.mkString(",")})")
+    }
     scaleUp(s, src, out, factorStr.toInt, tables)
     s.stop()
   }
@@ -52,6 +62,11 @@ object Scale {
               tables: Option[Set[String]] = None): Unit = {
     def want(t: String): Boolean = tables.forall(_.contains(t))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    // A subset dir is otherwise indistinguishable from a full one: leave
+    // a marker naming what it contains so consumers can tell.
+    tables.foreach(t => java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "_SUBSET_TABLES"),
+      (t.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8")))
     val reps = s.range(factor.toLong).select(col("id").cast("int").as("rep"))
     def replicated(name: String): DataFrame =
       Tables(s, src, name).crossJoin(reps)

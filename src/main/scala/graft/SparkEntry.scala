@@ -105,6 +105,11 @@ object SparkEntry {
     "q53_ngram_jaccard"      -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q54_dedup_embedding"    -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "q55_dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingCosineLsh(s, d)),
+    // bits=0 ⇒ ONE bucket ⇒ every pair forms through the IDENTICAL
+    // bucket/join/score machinery — the oracle-checked bridge for q55
+    // (the q61b full-fanout pattern applied to the pair-LSH path)
+    "q55b_dedup_embedding_lsh_full" ->
+      ((s, d) => Dedup.embeddingCosineLsh(s, d, bits = 0)),
     "q56_deduped_corpus"     -> ((s, d) => Dedup.dedupedDocuments(s, d)
                                     .orderBy("doc_id").select("doc_id", "text")),
     "q57_char_ngram_jaccard" -> ((s, d) => Dedup.charNgramJaccard(s, d)),
@@ -976,51 +981,11 @@ object SparkEntry {
     // on normalized md5 -> near-dup component losers -> 8-gram
     // decontamination -> per-source packing, mirroring Pipeline stage by
     // stage (near-dup pairs via the exhaustive SQL, valid per q51 note).
-    "q64_training_corpus" ->
-      """WITH RECURSIVE
-        |toks AS (SELECT doc_id, source, text,
-        |           list_filter(string_split(text,' '), x -> x <> '') AS ts
-        |         FROM documents),
-        |quality AS (SELECT doc_id, source, text, CAST(len(ts) AS BIGINT) AS n_tokens
-        |            FROM toks WHERE len(ts) BETWEEN 10 AND 1000),
-        |keepx AS (SELECT doc_id, source, n_tokens,
-        |            doc_id = min(doc_id) OVER (PARTITION BY
-        |              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS keep
-        |          FROM quality),
-        |keep_exact AS (SELECT doc_id, source, n_tokens FROM keepx WHERE keep),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(
-        |         generate_series(1, len(string_split(text,' '))-2),
-        |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
-        |       FROM documents),
-        |sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
-        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        |ipairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-        |           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
-        |pairs AS (SELECT p.a, p.b FROM ipairs p
-        |          JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b
-        |          WHERE round(CAST(p.inter AS DOUBLE)/(sa.sz+sb.sz-p.inter),4) >= 0.5),
-        |edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b AS x, a AS y FROM pairs),
-        |reach AS (SELECT x, y FROM edges
-        |          UNION
-        |          SELECT e.x, r.y FROM edges e JOIN reach r ON e.y = r.x),
-        |losers AS (SELECT x AS doc_id FROM reach GROUP BY 1 HAVING min(y) < x),
-        |g8 AS (SELECT doc_id, source,
-        |         array_to_string(ts[CAST(i+1 AS BIGINT):CAST(i+8 AS BIGINT)], ' ') AS gram
-        |       FROM toks, unnest(range(len(ts)-7)) AS u(i)
-        |       WHERE len(ts) >= 8),
-        |bench AS (SELECT DISTINCT gram FROM g8 WHERE source = 'src0'),
-        |contaminated AS (SELECT DISTINCT doc_id FROM g8 JOIN bench USING (gram)
-        |                 WHERE source <> 'src0'),
-        |clean AS (SELECT * FROM keep_exact
-        |          WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-        |            AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
-        |packed AS (SELECT doc_id, source, n_tokens,
-        |             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |               ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
-        |           FROM clean)
-        |SELECT doc_id, source, n_tokens, start_off,
-        |  CAST(floor(start_off/512.0) AS BIGINT) AS chunk_first
-        |FROM packed ORDER BY doc_id""".stripMargin,
+    "q64_training_corpus" -> trainingCorpusOracleSql,
+    // the STREAMING maintainer replays the corpus through micro-batches
+    // into persistent state and must land on the SAME corpus — strongest
+    // check a stateful composition gets (the q92 ≡ q87 pattern)
+    "q64s_stream_training_corpus" -> trainingCorpusOracleSql,
     "q57_char_ngram_jaccard" ->
       """WITH ex AS (SELECT DISTINCT doc_id, sh FROM (
         |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text)-4, 2),
@@ -1038,6 +1003,19 @@ object SparkEntry {
         | round(list_cosine_similarity(a.embedding, b.embedding),4) AS cos
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding, b.embedding),4) >= 0.4
+        |ORDER BY 1,2""".stripMargin,
+    // full fan-out (bits=0 ⇒ one bucket) ≡ exhaustive pair scan — the
+    // bridge that hash-checks q55's bucket/join/score machinery. The
+    // DOUBLE[] cast matters: Spark's dot/norm accumulate in double from
+    // the float32 elements, while DuckDB's list_cosine_similarity on a
+    // FLOAT[] stays float32 — one pair at a 4th-decimal rounding boundary
+    // (0.34785) hash-diverged without it.
+    "q55b_dedup_embedding_lsh_full" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        | round(list_cosine_similarity(a.emb, b.emb),4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.emb, b.emb),4) >= 0.3
         |ORDER BY 1,2""".stripMargin,
     "q60_knn_brute" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -1395,6 +1373,56 @@ object SparkEntry {
     * of power-of-two terms, 8-bit chunk candidate generation, and
     * bit_count hamming — every stage value-identical to the Spark plan.
     */
+  /** Stage-by-stage DuckDB mirror of the training-corpus pipeline —
+    * shared by the one-shot composition (q64) and its streaming
+    * maintainer (q64s), which must materialize the identical corpus.
+    */
+  private def trainingCorpusOracleSql: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, source, text,
+      |           list_filter(string_split(text,' '), x -> x <> '') AS ts
+      |         FROM documents),
+      |quality AS (SELECT doc_id, source, text, CAST(len(ts) AS BIGINT) AS n_tokens
+      |            FROM toks WHERE len(ts) BETWEEN 10 AND 1000),
+      |keepx AS (SELECT doc_id, source, n_tokens,
+      |            doc_id = min(doc_id) OVER (PARTITION BY
+      |              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS keep
+      |          FROM quality),
+      |keep_exact AS (SELECT doc_id, source, n_tokens FROM keepx WHERE keep),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         generate_series(1, len(string_split(text,' '))-2),
+      |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+      |       FROM documents),
+      |sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      |ipairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      |           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+      |pairs AS (SELECT p.a, p.b FROM ipairs p
+      |          JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b
+      |          WHERE round(CAST(p.inter AS DOUBLE)/(sa.sz+sb.sz-p.inter),4) >= 0.5),
+      |edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b AS x, a AS y FROM pairs),
+      |reach AS (SELECT x, y FROM edges
+      |          UNION
+      |          SELECT e.x, r.y FROM edges e JOIN reach r ON e.y = r.x),
+      |losers AS (SELECT x AS doc_id FROM reach GROUP BY 1 HAVING min(y) < x),
+      |g8 AS (SELECT doc_id, source,
+      |         array_to_string(ts[CAST(i+1 AS BIGINT):CAST(i+8 AS BIGINT)], ' ') AS gram
+      |       FROM toks, unnest(range(len(ts)-7)) AS u(i)
+      |       WHERE len(ts) >= 8),
+      |bench AS (SELECT DISTINCT gram FROM g8 WHERE source = 'src0'),
+      |contaminated AS (SELECT DISTINCT doc_id FROM g8 JOIN bench USING (gram)
+      |                 WHERE source <> 'src0'),
+      |clean AS (SELECT * FROM keep_exact
+      |          WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      |            AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |packed AS (SELECT doc_id, source, n_tokens,
+      |             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |               ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+      |           FROM clean)
+      |SELECT doc_id, source, n_tokens, start_off,
+      |  CAST(floor(start_off/512.0) AS BIGINT) AS chunk_first
+      |FROM packed ORDER BY doc_id""".stripMargin
+
   private def simhashMirrorOracleSql(maxHamming: Int = 3): String = {
     val nibs = (0 until 8).map(j =>
       s"strpos('0123456789abcdef', substr(m,${j + 1},1))-1 AS n$j").mkString(",\n  ")

@@ -76,7 +76,7 @@ object CorpusOps {
   /** Distinct hashed n-gram shingles per doc: posexplode → lead window →
     * xxhash64 over the n tokens (the codegen shingling path).
     */
-  private def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
     val tok = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
       .filter(length(col("t")) > 0)

@@ -62,9 +62,9 @@ object Dedup {
   def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // materialize the (small) edge set once — otherwise every iteration
     // re-executes the whole upstream pair-generation pipeline
-    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
-      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
-      .localCheckpoint(true)
+    val edges = graft.Lineage.truncate(
+      pairs.select(col("a").as("x"), col("b").as("y"))
+        .unionByName(pairs.select(col("b").as("x"), col("a").as("y"))))
     var labels = edges.select(col("x").as("doc_id")).distinct()
       .withColumn("rep", col("doc_id"))
     var converged = false
@@ -79,7 +79,7 @@ object Dedup {
       val changed = updated.as("u")
         .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
         .filter(col("u.rep") =!= col("l.rep")).limit(1).count() > 0
-      labels = updated.localCheckpoint(true) // truncate the iterative lineage
+      labels = graft.Lineage.truncate(updated) // cut the iterative lineage
       converged = !changed
       i += 1
     }

@@ -48,11 +48,15 @@ object Graph {
     */
   def pageRank(s: SparkSession, d: String, iters: Int = 3, k: Int = 100): DataFrame = {
     // materialize once: every iteration re-reads these, and without the
-    // checkpoint each round would rescan + re-distinct lineitem
-    val edges = supplyEdges(s, d).localCheckpoint(true)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
-    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint(true)
+    // checkpoint each round would rescan + re-distinct lineitem.
+    // Lineage.truncate = localCheckpoint by default, RELIABLE checkpoint
+    // under spark.graft.checkpointDir (survives executor loss on a real
+    // cluster — results identical, spec-asserted).
+    val edges = graft.Lineage.truncate(supplyEdges(s, d))
+    val deg = graft.Lineage.truncate(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    val nodes = graft.Lineage.truncate(
+      edges.select(col("src").as("node")).distinct())
     var ranks = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to iters) {
       val contrib = edges
@@ -64,7 +68,7 @@ object Graph {
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("(17 * coalesce(csum, 0L)) div 20")).as("r"))
-        .localCheckpoint(true)
+      ranks = graft.Lineage.truncate(ranks)
     }
     ranks.select(col("node"), col("r").as("rank_ppm"))
       .orderBy(col("rank_ppm").desc, col("node")).limit(k)

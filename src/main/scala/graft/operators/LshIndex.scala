@@ -31,9 +31,22 @@ object LshIndex {
   private[graft] val corpusSources: Seq[String] = (0 to 9).map(i => s"src$i")
   val Buckets = 32
 
-  private def tbl(kind: String, d: String): String =
-    "graft_lshidx_" + kind + "_" + java.lang.Long.toHexString(
-      java.lang.Integer.toUnsignedLong(d.hashCode))
+  private val IndexKinds = Seq("bands", "sigs", "shingles", "sizes")
+
+  /** Index tables are namespaced on a sha-256 prefix of the CANONICALIZED
+    * data dir: two spellings of one dir (`x` vs `x/.`) share an index,
+    * and two distinct dirs cannot collide the way a 32-bit String.hashCode
+    * could (a collision would silently probe the wrong corpus).
+    */
+  private[graft] def tbl(kind: String, d: String): String = {
+    val p = java.nio.file.Paths.get(d)
+    val canon =
+      try p.toRealPath().toString
+      catch { case _: java.io.IOException => p.toAbsolutePath.normalize.toString }
+    val dig = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"graft_lshidx_${kind}_$dig"
+  }
 
   /** Write the four index tables for `docs` (build or append). */
   private def write(docs: DataFrame, d: String, mode: String): Unit = {
@@ -57,11 +70,17 @@ object LshIndex {
     * cost, not a correctness event).
     */
   def buildIndex(s: SparkSession, d: String): Unit = {
-    if (s.catalog.tableExists(tbl("bands", d))) return
+    // Complete ONLY if all four tables are registered: a build that died
+    // partway (bands written, sigs/shingles/sizes missing) must not
+    // satisfy the early return — every later probe would then fail with
+    // no repair path. Any partial set is dropped and rebuilt whole.
+    if (IndexKinds.forall(k => s.catalog.tableExists(tbl(k, d)))) return
     val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
-    Seq("bands", "sigs", "shingles", "sizes").foreach { kind =>
+    IndexKinds.foreach { kind =>
+      if (s.catalog.tableExists(tbl(kind, d)))
+        s.sql(s"DROP TABLE `${tbl(kind, d)}`") // managed: drops its dir too
       val loc = java.nio.file.Paths.get(wh, tbl(kind, d))
-      if (java.nio.file.Files.exists(loc) && !s.catalog.tableExists(tbl(kind, d))) {
+      if (java.nio.file.Files.exists(loc)) {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
@@ -73,10 +92,18 @@ object LshIndex {
 
   /** Fold a processed batch into the index: the next crawl's probe then
     * dedups against it too. Bucketed appends keep the layout — probes
-    * stay index-side-shuffle-free.
+    * stay index-side-shuffle-free. Docs already present in the index are
+    * skipped (idempotent re-append — a retried batch must not produce
+    * duplicate index rows, which would duplicate every later probe pair).
     */
-  def append(s: SparkSession, docs: DataFrame, d: String): Unit =
-    write(docs, d, "append")
+  def append(s: SparkSession, docs: DataFrame, d: String): Unit = {
+    val fresh =
+      if (s.catalog.tableExists(tbl("sizes", d)))
+        docs.join(s.table(tbl("sizes", d)).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      else docs
+    write(fresh, d, "append")
+  }
 
   /** Probe the persisted index with a batch of NEW documents (default:
     * every non-corpus source, matching q71). Candidates join on `bkey`
@@ -90,8 +117,16 @@ object LshIndex {
   def probe(s: SparkSession, d: String, tau: Double = 0.5,
             batchOpt: Option[DataFrame] = None): DataFrame = {
     buildIndex(s, d)
+    // Docs ALREADY folded into the index (via append) are dropped from
+    // the batch side: an overlapping doc would otherwise sit on both join
+    // sides — yielding self-pairs (a==b, jaccard 1.0) and duplicate
+    // doc_id rows in the sizes union that duplicate every pair touching
+    // it. The anti-join makes append-then-probe safe for ANY batch; the
+    // indexed side still reports those docs as near-dups of future ones.
     val batch = batchOpt.getOrElse(
-      Tables.documents(s, d).filter(!col("source").isin(corpusSources: _*)))
+        Tables.documents(s, d).filter(!col("source").isin(corpusSources: _*)))
+      .join(s.table(tbl("sizes", d)).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
     val sigB = Dedup.signaturesRowLevel(batch).localCheckpoint(true)
     val exB = Dedup.shinglesOf(batch).localCheckpoint(true)
     val idxBands = s.table(tbl("bands", d))

@@ -230,7 +230,7 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("w"),
         filter(split(col("w"), ""), x => length(x) > 0).as("sym"), col("cnt"))
-      .localCheckpoint(true)
+    words = graft.Lineage.truncate(words)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     for (it <- 1 to k if !exhausted) {
@@ -248,8 +248,8 @@ object TextAnalysis {
       else {
         val (w1, w2, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((it, w1, w2, n))
-        words = words.select(col("w"), mergeFold(col("sym"), w1, w2).as("sym"),
-          col("cnt")).localCheckpoint(true)
+        words = graft.Lineage.truncate(words.select(col("w"),
+          mergeFold(col("sym"), w1, w2).as("sym"), col("cnt")))
       }
     }
     (merges.toSeq.toDF("iter", "p1", "p2", "n").orderBy("iter"), words)
@@ -299,7 +299,7 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("w"),
         filter(split(col("w"), ""), x => length(x) > 0).as("sym"), col("cnt"))
-      .localCheckpoint(true)
+    words = graft.Lineage.truncate(words)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     while (merges.size < k && !exhausted) {
@@ -332,8 +332,8 @@ object TextAnalysis {
         val folded = admitted.foldLeft(col("sym")) {
           case (c, (p1, p2, _)) => mergeFold(c, p1, p2)
         }
-        words = words.select(col("w"), folded.as("sym"), col("cnt"))
-          .localCheckpoint(true)
+        words = graft.Lineage.truncate(
+          words.select(col("w"), folded.as("sym"), col("cnt")))
       }
     }
     merges.toSeq.toDF("iter", "p1", "p2", "n").orderBy("iter")

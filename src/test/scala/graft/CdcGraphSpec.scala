@@ -71,6 +71,24 @@ class CdcGraphSpec extends AnyFunSuite {
     assert(a.map(_._2).sameElements(a.map(_._2).sorted.reverse))
   }
 
+  test("pageRank under a RELIABLE checkpoint dir is identical to the localCheckpoint default") {
+    val base = Graph.pageRank(spark, SharedSpark.sf, iters = 2, k = 20)
+      .collect().map(_.toSeq)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_")
+    dir.toFile.deleteOnExit()
+    spark.conf.set(Lineage.ConfKey, dir.toString)
+    try {
+      val reliable = Graph.pageRank(spark, SharedSpark.sf, iters = 2, k = 20)
+        .collect().map(_.toSeq)
+      assert(reliable === base)
+      // the dial actually engaged: checkpoint files landed under the dir
+      import scala.jdk.CollectionConverters._
+      val entries = java.nio.file.Files.walk(dir).iterator().asScala
+        .count(p => java.nio.file.Files.isRegularFile(p))
+      assert(entries > 0, "no reliable-checkpoint files written")
+    } finally spark.conf.unset(Lineage.ConfKey)
+  }
+
   test("pageRank: 0 iterations preserves the uniform start") {
     val r = Graph.pageRank(spark, SharedSpark.sf, iters = 0, k = 5)
       .as[(Long, Long)].collect()

@@ -19,8 +19,7 @@ class LshIndexSpec extends AnyFunSuite {
     val batch = Tables.documents(spark, sf)
       .filter(!col("source").isin(LshIndex.corpusSources: _*))
     val sigB = Dedup.signaturesRowLevel(batch)
-    val idxBands = spark.table("graft_lshidx_bands_" + java.lang.Long.toHexString(
-      java.lang.Integer.toUnsignedLong(sf.hashCode)))
+    val idxBands = spark.table(LshIndex.tbl("bands", sf))
     // At sf0.001 AQE just broadcasts the tiny index; disable broadcast to
     // exercise the shuffle-join regime the bucketing exists for.
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -34,10 +33,28 @@ class LshIndexSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  /** A distinct data dir backed by the same parquet (symlink), so the
+    * mutation tests can't pollute the other tests' index for `sf`. Table
+    * names canonicalize the path (sha-256 of toRealPath), so a mere
+    * spelling variant like "sf/." would now share sf's index — the old
+    * trick this replaces.
+    */
+  private lazy val linkedDir: String = {
+    val t = java.nio.file.Files.createTempDirectory("graft_lshidx_spec_")
+    t.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      t.resolve("documents.parquet"),
+      java.nio.file.Paths.get(sf, "documents.parquet").toRealPath())
+    t.toString
+  }
+
+  test("two spellings of one dir share one index (canonicalized namespace)") {
+    assert(LshIndex.tbl("bands", sf) === LshIndex.tbl("bands", sf + "/."))
+    assert(LshIndex.tbl("bands", sf) !== LshIndex.tbl("bands", linkedDir))
+  }
+
   test("append folds a batch into the index; later probes dedup against it") {
-    // distinct index namespace ("/." resolves to the same data) so the
-    // mutation can't pollute the other tests' index for `sf`
-    val d = sf + "/."
+    val d = linkedDir
     val batchAll = Tables.documents(spark, d)
       .filter(!col("source").isin(LshIndex.corpusSources: _*))
     val half1 = batchAll.filter(col("doc_id") % 2 === 0)
@@ -53,6 +70,22 @@ class LshIndexSpec extends AnyFunSuite {
     val newPairs = after -- before
     assert(newPairs.nonEmpty) // replicas straddle the parity split
     assert(newPairs.forall(r => r.head.asInstanceOf[Long] % 2 == 0))
+
+    // A probe whose batch OVERLAPS appended docs (the default batch =
+    // all non-corpus sources, after half1 was appended) must not emit
+    // self-pairs or duplicated rows: overlapping docs are anti-joined
+    // off the batch side, so the result equals the disjoint-batch probe.
+    val overlapping = LshIndex.probe(spark, d).collect().map(_.toSeq)
+    assert(overlapping.forall(r => r.head != r(1)), "self-pair emitted")
+    assert(overlapping.length === overlapping.distinct.length, "duplicated rows")
+    assert(overlapping.toSet === after)
+
+    // re-appending the same batch is a no-op (idempotent append): the
+    // sizes table keeps exactly one row per doc
+    LshIndex.append(spark, half1, d)
+    val sizes = spark.table(LshIndex.tbl("sizes", d))
+    assert(sizes.groupBy("doc_id").count().filter(col("count") > 1).count() === 0L)
+    assert(LshIndex.probe(spark, d).collect().map(_.toSeq).toSet === after)
   }
 
   test("paragraphDedup equals an independent window-based implementation") {

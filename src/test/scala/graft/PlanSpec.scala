@@ -66,6 +66,47 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE converts the fact⋈fact sort-merge join to a shuffled-hash join at runtime") {
+    // q04's biggest cost at 1000× was SORTING the fact sides; the session
+    // sets adaptive.maxShuffledHashJoinLocalMapThreshold so AQE swaps
+    // SMJ → SHJ when the per-partition map fits. Broadcast is disabled so
+    // the tiny test tables exercise the fact⋈fact regime.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.read.parquet(sf + "/lineitem.parquet")
+      val o = spark.read.parquet(sf + "/orders.parquet")
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      // static plan (pre-execution) picks SMJ: preferSortMergeJoin holds
+      assert(j.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+      j.collect() // drive AQE to the final plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      // the AQE dump appends the "== Initial Plan ==" (which keeps its
+      // static SMJ) — judge only the final section
+      val finalSection = plan.split("== Initial Plan ==").head
+      assert(finalSection.contains("ShuffledHashJoin"),
+        "AQE did not convert the SMJ to a shuffled-hash join:\n" + plan.take(3000))
+      assert(!finalSection.contains("SortMergeJoin"), plan.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("exchanges START at initialPartitionNum (8× steady state), AQE coalesces back") {
+    val init = spark.conf.get(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum").toInt
+    assert(init === spark.conf.get("spark.sql.shuffle.partitions").toInt * 8)
+    val df = spark.read.parquet(sf + "/lineitem.parquet")
+      .groupBy("l_returnflag").agg(org.apache.spark.sql.functions.sum("l_quantity"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the exchange was PLANNED wide (spill-safe at scale)...
+    assert(s"hashpartitioning\\([^)]*, $init\\)".r.findFirstIn(plan).isDefined,
+      s"exchange not planned at $init partitions:\n" + plan.take(3000))
+    // ...and AQE shrank it back by measured size at this SF
+    assert(plan.contains("AQEShuffleRead coalesced"), plan.take(3000))
+  }
+
   test("fuzzy matching verifies on the distinct-name grid, not raw rows") {
     val df = graft.operators.TextAnalysis.fuzzyPairs(spark, sf)
     val plan = df.queryExecution.optimizedPlan
