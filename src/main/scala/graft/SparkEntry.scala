@@ -97,6 +97,12 @@ object SparkEntry {
     // Bloom pre-filter + exact confirmation ≡ q59 — checked by the SAME oracle
     "q72_bloom_decontaminate" -> ((s, d) => CorpusOps.decontaminateBloom(s, d)),
     "q64_training_corpus"    -> ((s, d) => Pipeline.trainingCorpus(s, d)),
+    // STREAMING maintainer of the same corpus: micro-batch replay into
+    // persistent curation state (pairs via the persisted-index probe
+    // shape, fps, contamination), assembled ≡ the one-shot pipeline —
+    // hash-checked by q64's own stage mirror
+    "q64s_stream_training_corpus" ->
+      ((s, d) => StreamOps.trainingCorpusStream(s, d)),
     // §2c dedup
     "q50_dedup_exact"        -> (Dedup.exact _),
     "q58_dedup_minhash_approx" -> ((s, d) => Dedup.minhashApprox(s, d)),

@@ -36,6 +36,20 @@ class StreamPacingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b.exceptAll(a).count() === 0L)
   }
 
+  test("streaming training-corpus maintainer ≡ one-shot pipeline; warm call reuses state") {
+    val batchOut = graft.operators.Pipeline.trainingCorpus(spark, sf)
+      .collect().map(_.toSeq)
+    // cold: replays the corpus through 4 micro-batches into fresh state
+    val cold = StreamOps.trainingCorpusStream(spark, sf)
+      .collect().map(_.toSeq)
+    assert(cold === batchOut)
+    // warm: the persistent checkpoint finds no new files — assembly runs
+    // from the maintained state alone and lands on the same corpus
+    val warm = StreamOps.trainingCorpusStream(spark, sf)
+      .collect().map(_.toSeq)
+    assert(warm === batchOut)
+  }
+
   test("session windows merge identically across micro-batch boundaries") {
     assertSame(StreamOps.sessionWindows(spark, sf),
       paced()(StreamOps.sessionWindows(spark, sf)))
