@@ -148,8 +148,19 @@ object Scale {
 
   /** Write as ONE parquet FILE (the driver testdata layout Tables
     * expects): stage a coalesced dir, move the part file, drop the dir.
+    *
+    * `SPARK_GRAFT_SCALE_MULTI=1` writes a parquet DIRECTORY under the
+    * same name instead — Tables reads either. The single-file layout
+    * forces the whole replication through ONE task (coalesce(1)), which
+    * is fine up to ~1000× but serializes the per-char document transform
+    * for hours at 10000×; the multi-file form keeps generation parallel
+    * (and is what any real corpus looks like anyway).
     */
   private def writeSingle(df: DataFrame, outFile: String): Unit = {
+    if (sys.env.get("SPARK_GRAFT_SCALE_MULTI").exists(_.nonEmpty)) {
+      df.write.mode("overwrite").parquet(outFile)
+      return
+    }
     val tmp = outFile + ".staging"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val dir = java.nio.file.Paths.get(tmp)

@@ -154,7 +154,12 @@ object StreamOps {
       // in-memory row volume ~8-10×, so the earlier 24 MB/partition
       // target still landed every test corpus at the 8-partition clamp
       // (87 MB at the 100× point → 8) and the dial never engaged.
-      math.min(32, math.max(8, (bytesFor(d, table) / (6L << 20)).toInt))
+      // Floor lowered 8 → 4 after the round-4 drift A/B (REPEAT=3,
+      // sf0.1): state-store open/commit is per-partition-per-batch, and
+      // 4 partitions measured q36 2.60 → 2.08 s, q38 3.68 → 3.14 s
+      // steady-state — recovering the round-2→3 regression. Scale dirs
+      // are unaffected (the byte dial dominates past ~24 MB).
+      math.min(32, math.max(4, (bytesFor(d, table) / (6L << 20)).toInt))
     }
 
   /** Per-trigger admission bound: a single source file larger than this
