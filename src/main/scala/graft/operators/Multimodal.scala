@@ -226,6 +226,117 @@ object Multimodal {
        |ORDER BY a, b""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Audio-shaped path: temporal FRAME ENERGIES + delta-sign fingerprint.
+  // The decode stub stands in for PCM decode + windowed RMS; everything
+  // downstream (fingerprint, landmark blocking, exact verification) is
+  // the production shape of audio-dedup at scale.
+  // ------------------------------------------------------------------
+
+  val FrameBytes = 16
+  val MaxFrames = 8
+
+  /** Per-asset frame-energy profile through the batched per-partition
+    * decode path (the audio sibling of [[perceptualFeatures]]): payload
+    * bytes → up to [[MaxFrames]] non-overlapping [[FrameBytes]]-byte
+    * windows, energy = unsigned byte sum per window. Integer-exact, so
+    * the whole downstream chain is oracle-checkable cross-engine; a real
+    * deployment swaps the window sum for codec frames + RMS, keeping
+    * schema and plan shape.
+    */
+  def frameEnergies(assetFrame: DataFrame, frameBytes: Int = FrameBytes,
+                    maxFrames: Int = MaxFrames): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("energies", ArrayType(LongType, containsNull = false))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    assetFrame.select("asset_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](1)
+        val n = math.min(p.length, frameBytes * maxFrames)
+        val e = new Array[Long](math.max(1, (n + frameBytes - 1) / frameBytes))
+        var i = 0
+        while (i < n) { e(i / frameBytes) += (p(i) & 0xFF).toLong; i += 1 }
+        Row(r.getLong(0), e.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Delta-sign fingerprint per asset: bit i ⇔ energy rose from frame i
+    * to i+1 — the classic audio-fingerprint bit pattern, row-local over
+    * the energy array (no shuffle).
+    */
+  private def deltaSignFp(energies: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val rises = zip_with(
+      slice(energies, 2, MaxFrames), slice(energies, 1, MaxFrames),
+      (nx, pv) => when(nx > pv, 1L).otherwise(0L))
+    // little-endian bit pack via a big-endian fold over the reversed
+    // rise array: acc·2 + bit — integer-exact, no per-index shift
+    aggregate(reverse(rises), lit(0L), (acc, b) => acc * 2L + b)
+  }
+
+  /** Audio-style near-dup over the frame-energy profiles (q108): assets
+    * whose decoded frame sequences carry IDENTICAL energy profiles (at
+    * `maxL1 = 0`, the exhaustive-oracle default) or nearly so (the
+    * tolerant dial). Candidates come from LANDMARK blocking — each
+    * adjacent frame pair hashes to a landmark key, pairs must share one —
+    * so cost is Σ df² over landmarks, never n²: profile-identical pairs
+    * share every landmark (recall 1 at maxL1 = 0), near-identical ones
+    * share most. Verification is the exact integer L1 distance. The
+    * delta-sign fingerprint rides along as the display/index column.
+    */
+  def audioNearDup(s: SparkSession, d: String, maxL1: Long = 0): DataFrame =
+    audioPairsFrom(assets(s, d), maxL1)
+
+  /** The frame-energy → landmark → verify chain over an arbitrary asset
+    * frame (asset_id, payload) — split out so specs can feed constructed
+    * corpora with known duplicate/truncation structure.
+    */
+  private[graft] def audioPairsFrom(assetFrame: DataFrame, maxL1: Long): DataFrame = {
+    val en = frameEnergies(assetFrame)
+      .withColumn("fp", deltaSignFp(col("energies")))
+      .localCheckpoint(true) // feeds both landmark sides + verification
+    val lm = en.select(col("asset_id"), col("energies"),
+      posexplode(transform(
+        zip_with(slice(col("energies"), 2, MaxFrames),
+          slice(col("energies"), 1, MaxFrames),
+          (nx, pv) => struct(pv.as("a"), nx.as("b"))),
+        (pair, i) => xxhash64(lit("lm"), i, pair.getField("a"), pair.getField("b"))))
+        .as(Seq("i", "lm")))
+    val cand = lm.as("a").join(lm.as("b"),
+        col("a.lm") === col("b.lm") && col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("a"), col("b.asset_id").as("b"))
+      .dropDuplicates("a", "b")
+    cand
+      .join(en.select(col("asset_id").as("a"), col("energies").as("ea")), "a")
+      .join(en.select(col("asset_id").as("b"), col("energies").as("eb")), "b")
+      .filter(size(col("ea")) === size(col("eb")))
+      .withColumn("l1", aggregate(
+        zip_with(col("ea"), col("eb"), (x, y) => abs(x - y)),
+        lit(0L), (acc, x) => acc + x))
+      .filter(col("l1") <= maxL1)
+      .select(col("a"), col("b"), col("l1"))
+      .orderBy("a", "b")
+  }
+
+  /** DuckDB mirror of [[audioNearDup]] at `maxL1 = 0`: identical energy
+    * profiles ⇔ identical energy LISTS, so the oracle is an exhaustive
+    * group-by-profile pair join — every landmark/verification step on
+    * the Spark side must collapse to exactly these pairs. Energies are
+    * recomputed from the text stand-in (payload = utf-8 bytes; the
+    * corpus is ASCII, so `ascii(char) = byte`).
+    */
+  def audioOracleSql(frameBytes: Int = FrameBytes, maxFrames: Int = MaxFrames): String =
+    s"""WITH by AS (
+       |  SELECT doc_id, (j-1)//$frameBytes AS frame, ascii(substring(text, CAST(j AS INT), 1)) AS v
+       |  FROM documents,
+       |       unnest(range(1, least(length(text), ${frameBytes * maxFrames}) + 1)) AS u(j)),
+       |en AS (SELECT doc_id, frame, sum(v) AS e FROM by GROUP BY 1, 2),
+       |prof AS (SELECT doc_id, list(e ORDER BY frame) AS ev FROM en GROUP BY doc_id)
+       |SELECT a.doc_id AS a, b.doc_id AS b, CAST(0 AS BIGINT) AS l1
+       |FROM prof a JOIN prof b ON a.ev = b.ev AND a.doc_id < b.doc_id
+       |ORDER BY 1, 2""".stripMargin
+
   /** Deterministic frame sampling: every stride-th byte window — the
     * plumbing shape of video frame extraction (payload → many rows).
     */

@@ -83,6 +83,27 @@ class StreamAndMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: audio fingerprint pairs identical 128-byte prefixes, rejects a 1-byte edit") {
+    import spark.implicits._
+    val base = ("x" * 20 + " " + "yy " * 40).take(200) // > 8 frames of 16 bytes
+    val corpus = Seq(
+      (1L, base),                       // original
+      (2L, base),                       // exact dup → pairs with 1
+      (3L, base.take(128)),             // truncated AFTER the fingerprint span → still pairs
+      (4L, "z" + base.drop(1)),         // frame-0 byte edit → different profile
+      (5L, base.take(100))              // truncated INSIDE the span → fewer frames, no pair
+    ).toDF("asset_id", "payload")
+      .select(col("asset_id"), col("payload").cast("binary").as("payload"))
+    val got = graft.operators.Multimodal.audioPairsFrom(corpus, maxL1 = 0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // the tolerant dial admits the small-perturbation pair: a 1-byte
+    // change of |Δ| = ('z'-'x') shifts one frame energy by exactly that
+    val tol = graft.operators.Multimodal.audioPairsFrom(corpus, maxL1 = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(tol.contains((1L, 4L)))
+  }
+
   test("multimodal: frame sampling yields bounded per-asset fan-out") {
     val frames = Multimodal.frameSample(Multimodal.assets(spark, sf), 16, 4)
     val counts = frames.groupBy("asset_id").agg(count(lit(1)).as("n"))
