@@ -105,6 +105,39 @@ object LshIndex {
     write(fresh, d, "append")
   }
 
+  /** Compact the index after many appends: each `append` adds one file
+    * set per bucket, so a crawl-per-day deployment accumulates small
+    * files that tax the probe's file listing and scan. Rewrites each
+    * table bucket-complete (same bucket spec ⇒ probes keep planning
+    * zero index-side exchange) via a staging table + atomic catalog
+    * rename — the index-table analog of [[Layouts.compact]].
+    */
+  def compact(s: SparkSession, d: String): Unit = {
+    // The rewrite needs NO exchange at all: a bucket-aware scan already
+    // yields one partition per bucket, so the bucketed writer lands one
+    // file per bucket. But DisableUnnecessaryBucketedScan sees a plan
+    // with no join/agg and silently downgrades to a plain size-split
+    // scan — each task then holds MANY buckets and the writer splits
+    // every task by bucket (measured: 64 files in, 64 files "compacted",
+    // 4 tasks × ~16 buckets each). Pin bucketed reading on for the
+    // rewrite; everything else stays default.
+    val AutoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = s.conf.get(AutoKey)
+    s.conf.set(AutoKey, "false")
+    try IndexKinds.foreach { kind =>
+      val t = tbl(kind, d)
+      if (s.catalog.tableExists(t)) {
+        val key = if (kind == "bands") "bkey" else "doc_id"
+        val tmp = t + "_compacting"
+        if (s.catalog.tableExists(tmp)) s.sql(s"DROP TABLE `$tmp`")
+        s.table(t).write.bucketBy(Buckets, key).sortBy(key)
+          .format("parquet").mode("overwrite").saveAsTable(tmp)
+        s.sql(s"DROP TABLE `$t`")
+        s.sql(s"ALTER TABLE `$tmp` RENAME TO `$t`")
+      }
+    } finally s.conf.set(AutoKey, prevAuto)
+  }
+
   /** Probe the persisted index with a batch of NEW documents (default:
     * every non-corpus source, matching q71). Candidates join on `bkey`
     * ALONE — the band id is hashed INTO bkey (`bkey = xxhash64(band,

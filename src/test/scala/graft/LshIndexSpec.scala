@@ -86,6 +86,26 @@ class LshIndexSpec extends AnyFunSuite {
     val sizes = spark.table(LshIndex.tbl("sizes", d))
     assert(sizes.groupBy("doc_id").count().filter(col("count") > 1).count() === 0L)
     assert(LshIndex.probe(spark, d).collect().map(_.toSeq).toSet === after)
+
+    // compaction merges the append-accumulated small files, keeps the
+    // bucketed layout (zero index-side exchange), and changes nothing
+    def bandFiles(): Long = {
+      val loc = spark.sql(
+        s"DESCRIBE TABLE EXTENDED `${LshIndex.tbl("bands", d)}`")
+        .filter(col("col_name") === "Location").head.getString(1)
+      val p = java.nio.file.Paths.get(java.net.URI.create(loc).getPath)
+      val st = java.nio.file.Files.list(p)
+      try st.filter(_.getFileName.toString.startsWith("part-")).count()
+      finally st.close()
+    }
+    val before_files = bandFiles()
+    LshIndex.compact(spark, d)
+    assert(bandFiles() < before_files, s"compaction did not shrink $before_files files")
+    assert(LshIndex.probe(spark, d).collect().map(_.toSeq).toSet === after)
+    val plan = spark.table(LshIndex.tbl("bands", d)).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("Bucketed: true") || plan.contains("SelectedBucketsCount")
+      || !plan.contains("Exchange"), plan.take(500))
   }
 
   test("paragraphDedup equals an independent window-based implementation") {
