@@ -278,30 +278,34 @@ object Multimodal {
   /** Audio-style near-dup over the frame-energy profiles (q108): assets
     * whose decoded frame sequences carry IDENTICAL energy profiles (at
     * `maxL1 = 0`, the exhaustive-oracle default) or nearly so (the
-    * tolerant dial). Candidates come from LANDMARK blocking — each
-    * adjacent frame pair hashes to a landmark key, pairs must share one —
-    * so cost is Σ df² over landmarks, never n²: profile-identical pairs
-    * share every landmark (recall 1 at maxL1 = 0), near-identical ones
-    * share most. Verification is the exact integer L1 distance. The
-    * delta-sign fingerprint rides along as the display/index column.
+    * tolerant dial: ≤ 1 divergent frame within total L1 `maxL1`).
+    * Candidates come from LEAVE-ONE-OUT banding — band j hashes the
+    * whole profile with frame j masked, so profile-identical pairs share
+    * EVERY band (recall 1 at maxL1 = 0) and pairs differing in exactly
+    * one frame share the band masking it. Band keys carry full-profile
+    * entropy, so df per band ≈ true cluster size and cost stays linear —
+    * the first cut used adjacent-frame-PAIR landmarks, whose low entropy
+    * (frame sums concentrate around the mean) made Σ df² detonate at the
+    * 10000× point (OOM-killed at 50 M docs). Verification is the exact
+    * integer L1 distance; the delta-sign fingerprint rides along as the
+    * display/index column.
     */
   def audioNearDup(s: SparkSession, d: String, maxL1: Long = 0): DataFrame =
     audioPairsFrom(assets(s, d), maxL1)
 
-  /** The frame-energy → landmark → verify chain over an arbitrary asset
+  /** The frame-energy → band → verify chain over an arbitrary asset
     * frame (asset_id, payload) — split out so specs can feed constructed
     * corpora with known duplicate/truncation structure.
     */
   private[graft] def audioPairsFrom(assetFrame: DataFrame, maxL1: Long): DataFrame = {
     val en = frameEnergies(assetFrame)
       .withColumn("fp", deltaSignFp(col("energies")))
-      .localCheckpoint(true) // feeds both landmark sides + verification
+      .localCheckpoint(true) // feeds both band sides + verification
+    val e = col("energies")
     val lm = en.select(col("asset_id"), col("energies"),
-      posexplode(transform(
-        zip_with(slice(col("energies"), 2, MaxFrames),
-          slice(col("energies"), 1, MaxFrames),
-          (nx, pv) => struct(pv.as("a"), nx.as("b"))),
-        (pair, i) => xxhash64(lit("lm"), i, pair.getField("a"), pair.getField("b"))))
+      posexplode(transform(sequence(lit(0), size(e) - 1),
+        j => xxhash64(lit("band"), j, size(e),
+          concat(slice(e, lit(1), j), slice(e, j + 2, size(e))))))
         .as(Seq("i", "lm")))
     val cand = lm.as("a").join(lm.as("b"),
         col("a.lm") === col("b.lm") && col("a.asset_id") < col("b.asset_id"))
