@@ -382,8 +382,25 @@ object Dedup {
   def minhashApprox(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
     // estimate-only → no shingle table is ever needed: signatures come
     // from the row-local codegen expression (zero exchanges before the
-    // band join — the whole operator is scan → project → 1 pair shuffle)
-    val sig = signaturesRowLevel(Tables.documents(s, d)).localCheckpoint(true)
+    // band join — the whole operator is scan → project → 1 pair shuffle).
+    // Materializing the signature table (localCheckpoint) is the
+    // cache-vs-recompute dial: it wins while the 64-long rows fit
+    // executor storage, and loses when they don't — at the 10000× point
+    // (50 M docs ≈ 30 GB of signature blocks) the cached form spilled
+    // the whole run into superlinear territory on one box, while
+    // recomputing the row-local projection per consumer is just extra
+    // scan+hash work that tracks corpus size. `spark.graft.dedup.
+    // materializeSigs` = true | false | auto (auto: materialize below
+    // ~10 M docs, metadata-count-cheap).
+    val sigBase = signaturesRowLevel(Tables.documents(s, d))
+    val sig = s.conf.get("spark.graft.dedup.materializeSigs", "auto") match {
+      case "true"  => sigBase.localCheckpoint(true)
+      case "false" => sigBase
+      case _ =>
+        if (Tables.documents(s, d).count() <= 10000000L)
+          sigBase.localCheckpoint(true)
+        else sigBase
+    }
     val bands = bandsOf(sig)
     val candRaw = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
