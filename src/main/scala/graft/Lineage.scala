@@ -30,12 +30,19 @@ object Lineage {
         val sc = s.sparkContext
         // setCheckpointDir creates a fresh subdir under `dir`; only (re)set
         // when unset or pointed somewhere else, so one session reuses one
-        // subdir instead of spawning one per truncate call.
-        // (contains, not startsWith: the resolved value may carry a
-        // "file:"/"hdfs:" scheme prefix in front of the absolute path)
-        if (!sc.getCheckpointDir.exists(_.contains(
-            java.nio.file.Paths.get(dir).toAbsolutePath.toString)))
-          sc.setCheckpointDir(dir)
+        // subdir instead of spawning one per truncate call. Compare the
+        // current checkpoint dir's PARENT path component-exactly — a raw
+        // substring test would false-match /data/ckpt against a current
+        // /data/ckpt2/<uuid> and silently keep checkpointing to the old
+        // location after the conf is re-pointed.
+        val target = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+        val currentParent = sc.getCheckpointDir.flatMap { cd =>
+          val p =
+            try java.nio.file.Paths.get(java.net.URI.create(cd))
+            catch { case _: Exception => java.nio.file.Paths.get(cd) }
+          Option(p.getParent).map(_.toString)
+        }
+        if (!currentParent.contains(target)) sc.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }

@@ -35,8 +35,7 @@ object Scale {
 
   private val IdOffset = 1000000000L
 
-  private val KnownTables = Set("region", "nation", "customer", "supplier",
-    "part", "orders", "lineitem", "events", "documents", "embeddings")
+  private val KnownTables: Set[String] = Tables.names.toSet
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: Scale <srcDir> <outDir> <factor> [tables]")
@@ -63,10 +62,15 @@ object Scale {
     def want(t: String): Boolean = tables.forall(_.contains(t))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     // A subset dir is otherwise indistinguishable from a full one: leave
-    // a marker naming what it contains so consumers can tell.
-    tables.foreach(t => java.nio.file.Files.write(
-      java.nio.file.Paths.get(out, "_SUBSET_TABLES"),
-      (t.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8")))
+    // a marker naming what it contains so consumers can tell. A later
+    // FULL run into the same dir clears the marker — the dir is no
+    // longer partial.
+    val marker = java.nio.file.Paths.get(out, "_SUBSET_TABLES")
+    tables match {
+      case Some(t) => java.nio.file.Files.write(marker,
+        (t.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+      case None => java.nio.file.Files.deleteIfExists(marker)
+    }
     val reps = s.range(factor.toLong).select(col("id").cast("int").as("rep"))
     def replicated(name: String): DataFrame =
       Tables(s, src, name).crossJoin(reps)
@@ -161,6 +165,13 @@ object Scale {
       df.write.mode("overwrite").parquet(outFile)
       return
     }
+    // a prior multi-file run may have left a DIRECTORY under this name —
+    // Files.move cannot replace a non-empty dir, so clear it first
+    val existing = java.nio.file.Paths.get(outFile)
+    if (java.nio.file.Files.isDirectory(existing))
+      java.nio.file.Files.walk(existing)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
     val tmp = outFile + ".staging"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val dir = java.nio.file.Paths.get(tmp)

@@ -38,27 +38,29 @@ object LshIndex {
     * and two distinct dirs cannot collide the way a 32-bit String.hashCode
     * could (a collision would silently probe the wrong corpus).
     */
-  private[graft] def tbl(kind: String, d: String): String = {
-    val p = java.nio.file.Paths.get(d)
-    val canon =
-      try p.toRealPath().toString
-      catch { case _: java.io.IOException => p.toAbsolutePath.normalize.toString }
-    val dig = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(canon.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    s"graft_lshidx_${kind}_$dig"
-  }
+  private[graft] def tbl(kind: String, d: String): String =
+    s"graft_lshidx_${kind}_${graft.DirKeys.digest(d)}"
 
-  /** Write the four index tables for `docs` (build or append). */
+  /** Write the four index tables for `docs` (build or append).
+    *
+    * `sizes` — the idempotence key [[append]] anti-joins against — is
+    * written FIRST: a write that dies partway leaves docs marked present
+    * with some tables missing, which probes handle safely (inner joins
+    * drop them — under-reporting, repairable by rebuild), whereas the
+    * old sizes-last order let a RETRIED append re-append all four tables
+    * for docs whose sizes row never landed — duplicate sigs/shingles
+    * rows that inflate probe intersections (corruption, not omission).
+    */
   private def write(docs: DataFrame, d: String, mode: String): Unit = {
     val sig = Dedup.signaturesRowLevel(docs).localCheckpoint(true)
     val ex = Dedup.shinglesOf(docs).localCheckpoint(true)
     def out(df: DataFrame, kind: String, key: String): Unit =
       df.write.bucketBy(Buckets, key).sortBy(key)
         .mode(mode).format("parquet").saveAsTable(tbl(kind, d))
+    out(ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")), "sizes", "doc_id")
     out(Dedup.bandsOf(sig), "bands", "bkey")
     out(sig, "sigs", "doc_id")
     out(ex, "shingles", "doc_id")
-    out(ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")), "sizes", "doc_id")
   }
 
   /** Build the index over the EXISTING corpus (sources src0-src9), once
@@ -69,7 +71,22 @@ object LshIndex {
     * directories from a previous JVM are cleared and rebuilt (rebuild
     * cost, not a correctness event).
     */
+  /** Finish any compaction interrupted between its DROP and RENAME: the
+    * compacted data survives in the `_compacting` staging table, so the
+    * rename is completed instead of letting [[buildIndex]] declare the
+    * set partial and rebuild from corpus sources — which would silently
+    * discard every batch ever folded in via [[append]].
+    */
+  private def recoverCompacting(s: SparkSession, d: String): Unit =
+    IndexKinds.foreach { kind =>
+      val t = tbl(kind, d)
+      val tmp = t + "_compacting"
+      if (!s.catalog.tableExists(t) && s.catalog.tableExists(tmp))
+        s.sql(s"ALTER TABLE `$tmp` RENAME TO `$t`")
+    }
+
   def buildIndex(s: SparkSession, d: String): Unit = {
+    recoverCompacting(s, d)
     // Complete ONLY if all four tables are registered: a build that died
     // partway (bands written, sigs/shingles/sizes missing) must not
     // satisfy the early return — every later probe would then fail with
@@ -121,6 +138,7 @@ object LshIndex {
     // every task by bucket (measured: 64 files in, 64 files "compacted",
     // 4 tasks × ~16 buckets each). Pin bucketed reading on for the
     // rewrite; everything else stays default.
+    recoverCompacting(s, d) // finish any earlier interrupted swap first
     val AutoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prevAuto = s.conf.get(AutoKey)
     s.conf.set(AutoKey, "false")
@@ -177,11 +195,16 @@ object LshIndex {
       .dropDuplicates("a", "b")
     val minAgree = math.max(0,
       math.ceil((tau - 0.25) * Dedup.MinhashPerms).toInt)
+    // dropDuplicates AFTER the sig joins too: the pair set is tiny, and
+    // it insulates scoring from any duplicated index rows (e.g. a
+    // pre-hardening append retry) — duplicate cand rows would otherwise
+    // multiply `inter`
     val cand = candRaw
       .join(idxSigs.as("sa"), col("a") === col("sa.doc_id"))
       .join(sigB.as("sb"), col("b") === col("sb.doc_id"))
       .filter(Dedup.agreement("sa", "sb") >= minAgree)
       .select(col("a"), col("b"))
+      .dropDuplicates("a", "b")
     val sizes = idxSizes.unionByName(
       exB.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")))
     val candA = idxEx.join(cand, col("doc_id") === col("a"))

@@ -298,7 +298,11 @@ object Multimodal {
     * corpora with known duplicate/truncation structure.
     */
   private[graft] def audioPairsFrom(assetFrame: DataFrame, maxL1: Long): DataFrame = {
-    val en = frameEnergies(assetFrame)
+    // empty payloads carry no signal and the oracle's per-byte unnest
+    // naturally excludes them — drop them here too, or every empty asset
+    // would pair with every other at l1 = 0 under the manufactured
+    // single-frame [0] profile
+    val en = frameEnergies(assetFrame.filter(length(col("payload")) > 0))
       .withColumn("fp", deltaSignFp(col("energies")))
       .localCheckpoint(true) // feeds both band sides + verification
     val e = col("energies")

@@ -308,16 +308,11 @@ object Similarity {
     */
   private def ivfStableDir(s: SparkSession, d: String, cells: Int,
                            iters: Int): java.nio.file.Path = {
-    val p = java.nio.file.Paths.get(d)
-    val canon =
-      try p.toRealPath().toString
-      catch { case _: java.io.IOException => p.toAbsolutePath.normalize.toString }
     val emb = java.nio.file.Paths.get(d, "embeddings.parquet")
     val stamp =
       try s"${java.nio.file.Files.size(emb)}_${java.nio.file.Files.getLastModifiedTime(emb).toMillis}"
       catch { case _: java.io.IOException => "nofile" }
-    val dig = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"$canon|$stamp".getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dig = graft.DirKeys.digest(d, stamp)
     val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
     java.nio.file.Paths.get(wh, s"graft_ivfidx_${dig}_${cells}_$iters")
   }
@@ -506,7 +501,14 @@ object Similarity {
     val codebook = trainedCodebook(s, d, cells, iters)
     cellAssign(codebook, Tables.embeddings(s, d))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$out/vectors")
-    writeCodebook(s, codebook, s"$out/codebook")
+    // trainedCodebook's cold path already persisted the model at the
+    // STABLE location; only write again for a custom out dir (where a
+    // stale file could otherwise linger)
+    if (java.nio.file.Paths.get(out).toAbsolutePath.normalize !=
+        ivfStableDir(s, d, cells, iters).toAbsolutePath.normalize ||
+        !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$out/codebook/_SUCCESS")))
+      writeCodebook(s, codebook, s"$out/codebook")
   }
 
   /** Resolve (building if needed) the persisted index at its STABLE

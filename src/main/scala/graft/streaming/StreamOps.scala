@@ -550,23 +550,25 @@ object StreamOps {
       val t = java.nio.file.Files.createTempDirectory("graft_stream_corpus_")
       t.toFile.deleteOnExit()
       val w = t.toString
-      // seed every state table empty with its schema
+      // seed every state table empty with its schema, as the batch=-1
+      // partition — all later writes land as batch=<id> partitions (see
+      // the foreachBatch note on idempotent replay)
       val sigCols = (0 until Dedup.MinhashPerms).map(i => lit(0L).as(s"m$i"))
       s.range(0).select(col("id").as("doc_id") +: sigCols: _*)
-        .write.parquet(s"$w/sigs")
+        .write.parquet(s"$w/sigs/batch=-1")
       s.range(0).select(col("id").as("doc_id"), col("id").as("h"))
-        .write.parquet(s"$w/shingles")
+        .write.parquet(s"$w/shingles/batch=-1")
       s.range(0).select(col("id").as("doc_id"), col("id").as("sz"))
-        .write.parquet(s"$w/sizes")
+        .write.parquet(s"$w/sizes/batch=-1")
       s.range(0).select(col("id").as("a"), col("id").as("b"))
-        .write.parquet(s"$w/pairs")
+        .write.parquet(s"$w/pairs/batch=-1")
       s.range(0).select(col("id").cast("string").as("fp"))
-        .write.parquet(s"$w/fps")
+        .write.parquet(s"$w/fps/batch=-1")
       s.range(0).select(col("id").as("doc_id"), col("id").cast("string").as("source"),
           col("id").as("n_tokens"))
-        .write.parquet(s"$w/gated")
+        .write.parquet(s"$w/gated/batch=-1")
       s.range(0).select(col("id").as("doc_id"))
-        .write.parquet(s"$w/contam")
+        .write.parquet(s"$w/contam/batch=-1")
       w
     })
     val minAgree = math.max(0, math.ceil((tau - 0.25) * Dedup.MinhashPerms).toInt)
@@ -582,8 +584,18 @@ object StreamOps {
       s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
         .writeStream
         .option("checkpointLocation", s"$work/ckpt")
-        .foreachBatch { (batch0: DataFrame, _: Long) =>
+        .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+          // foreachBatch is at-least-once: the checkpoint commits AFTER
+          // this closure, so a crash mid-batch replays it. Every state
+          // write therefore lands as an OVERWRITE of this batch's own
+          // batch=<id> partition — a replay rewrites the same partition
+          // instead of double-appending (which would duplicate sizes/
+          // gated rows and corrupt the corpus with no repair path).
           val sb = batch0.sparkSession
+          def readState(name: String): DataFrame =
+            sb.read.parquet(s"$work/$name").drop("batch")
+          def writeState(df: DataFrame, name: String): Unit =
+            df.write.mode("overwrite").parquet(s"$work/$name/batch=$batchId")
           val batch = batch0.localCheckpoint(true)
           // -- 1. near-dup pair maintenance (over ALL docs, like q51) --
           val sig = Dedup.signaturesRowLevel(batch).localCheckpoint(true)
@@ -610,22 +622,21 @@ object StreamOps {
               col("a.doc_id") < col("b.doc_id"))
             .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
             .dropDuplicates("a", "b")
-          val oldSig = sb.read.parquet(s"$work/sigs")
-          val oldEx = sb.read.parquet(s"$work/shingles")
-          val oldSz = sb.read.parquet(s"$work/sizes")
+          val oldSig = readState("sigs")
+          val oldEx = readState("shingles")
+          val oldSz = readState("sizes")
           // ascending replay ⇒ state doc_ids < batch doc_ids: (a, b) is
           // already the self-join's (smaller, larger) orientation
           val candX = Dedup.bandsOf(oldSig).as("a").join(bands.as("b"),
               col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
             .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
             .dropDuplicates("a", "b")
-          verified(agreed(candIn, sig), ex, sizes)
+          writeState(verified(agreed(candIn, sig), ex, sizes)
             .unionByName(verified(agreed(candX, oldSig), oldEx,
-              oldSz.unionByName(sizes)))
-            .write.mode("append").parquet(s"$work/pairs")
-          sig.write.mode("append").parquet(s"$work/sigs")
-          ex.write.mode("append").parquet(s"$work/shingles")
-          sizes.write.mode("append").parquet(s"$work/sizes")
+              oldSz.unionByName(sizes))), "pairs")
+          writeState(sig, "sigs")
+          writeState(ex, "shingles")
+          writeState(sizes, "sizes")
           // -- 2. quality gate + exact-dup admission (keep-first) --
           val gated = batch
             .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))).cast("long"))
@@ -637,28 +648,30 @@ object StreamOps {
             .select(col("fp"), col("f.doc_id").as("doc_id"),
               col("f.source").as("source"), col("f.n_tokens").as("n_tokens"))
           val admitted = firstIn
-            .join(sb.read.parquet(s"$work/fps"), Seq("fp"), "left_anti")
+            .join(readState("fps"), Seq("fp"), "left_anti")
             .localCheckpoint(true)
-          admitted.select(col("fp")).write.mode("append").parquet(s"$work/fps")
-          admitted.select(col("doc_id"), col("source"), col("n_tokens"))
-            .write.mode("append").parquet(s"$work/gated")
+          writeState(admitted.select(col("fp")), "fps")
+          writeState(admitted.select(col("doc_id"), col("source"),
+            col("n_tokens")), "gated")
           // -- 3. decontamination flags for this batch --
-          CorpusOps.shingleHashes(batch.filter(col("source") =!= "src0"), 8)
+          writeState(CorpusOps.shingleHashes(
+              batch.filter(col("source") =!= "src0"), 8)
             .join(broadcast(bench), "h")
-            .select(col("doc_id")).distinct()
-            .write.mode("append").parquet(s"$work/contam")
+            .select(col("doc_id")).distinct(), "contam")
         }
         .trigger(Trigger.AvailableNow())
         .start()
         .awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     // -- final assembly: the identical relational tail, corpus-scan-free --
-    val losers = Dedup.resolveClusters(s.read.parquet(s"$work/pairs"))
+    val losers = Dedup.resolveClusters(
+        s.read.parquet(s"$work/pairs").drop("batch"))
       .filter(col("rep") =!= col("doc_id"))
       .select(col("doc_id"))
-    val clean = s.read.parquet(s"$work/gated")
+    val clean = s.read.parquet(s"$work/gated").drop("batch")
       .join(losers, Seq("doc_id"), "left_anti")
-      .join(s.read.parquet(s"$work/contam"), Seq("doc_id"), "left_anti")
+      .join(s.read.parquet(s"$work/contam").drop("batch"),
+        Seq("doc_id"), "left_anti")
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clean
