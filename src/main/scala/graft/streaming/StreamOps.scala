@@ -592,8 +592,14 @@ object StreamOps {
           // instead of double-appending (which would duplicate sizes/
           // gated rows and corrupt the corpus with no repair path).
           val sb = batch0.sparkSession
+          // state reads EXCLUDE this batch's own partition: on a replay
+          // the crashed attempt's partial writes are already on disk,
+          // and reading them back would (a) cross-pair the batch with
+          // itself and (b) make the fps anti-join reject the batch's own
+          // docs — overwriting its gated partition with EMPTY output
           def readState(name: String): DataFrame =
-            sb.read.parquet(s"$work/$name").drop("batch")
+            sb.read.parquet(s"$work/$name")
+              .filter(col("batch") =!= batchId).drop("batch")
           def writeState(df: DataFrame, name: String): Unit =
             df.write.mode("overwrite").parquet(s"$work/$name/batch=$batchId")
           val batch = batch0.localCheckpoint(true)
