@@ -60,6 +60,12 @@ object GraftSession {
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
     .config("spark.sql.parquet.filterPushdown", "true")
+    // Reliable-checkpoint hygiene (the Lineage.truncate production mode):
+    // without this, checkpoint data written under spark.graft.checkpointDir
+    // is NEVER reclaimed — every iteration of a long iterative job (BPE's
+    // k merge rounds) retains its checkpoint until application exit. Must
+    // be set at SparkConf time (ContextCleaner reads it at construction).
+    .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     .config("spark.ui.enabled", "false")
   }
 

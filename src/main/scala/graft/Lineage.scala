@@ -18,10 +18,26 @@ import org.apache.spark.sql.DataFrame
   *
   * Results are identical either way (spec-asserted on pageRank): the
   * mode only changes where the truncated result lives.
+  *
+  * Storage hygiene for the reliable mode: checkpointed RDD data is only
+  * reclaimed when `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  * (a SparkConf-time setting — [[GraftSession.configure]] sets it), else
+  * long iterative jobs (BPE's k merge rounds) accumulate one retained
+  * checkpoint per iteration for the life of the application.
   */
 object Lineage {
 
   val ConfKey = "spark.graft.checkpointDir"
+
+  /** `df.truncated` — suffix form of [[truncate]], so operator chains keep
+    * reading top-to-bottom. EVERY lineage cut in the engine goes through
+    * here (round-4 ask): single-pass materializations included, so an
+    * executor loss on a real cluster has one uniform recovery story —
+    * flip `spark.graft.checkpointDir` and every cut becomes reliable.
+    */
+  implicit class TruncateOps(private val df: DataFrame) extends AnyVal {
+    def truncated: DataFrame = Lineage.truncate(df)
+  }
 
   def truncate(df: DataFrame): DataFrame = {
     val s = df.sparkSession
@@ -34,14 +50,18 @@ object Lineage {
         // current checkpoint dir's PARENT path component-exactly — a raw
         // substring test would false-match /data/ckpt against a current
         // /data/ckpt2/<uuid> and silently keep checkpointing to the old
-        // location after the conf is re-pointed.
-        val target = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
-        val currentParent = sc.getCheckpointDir.flatMap { cd =>
-          val p =
-            try java.nio.file.Paths.get(java.net.URI.create(cd))
-            catch { case _: Exception => java.nio.file.Paths.get(cd) }
-          Option(p.getParent).map(_.toString)
-        }
+        // location after the conf is re-pointed. Comparison uses HADOOP
+        // Path semantics, fs-qualified: sc.getCheckpointDir returns a
+        // fully-qualified URI (hdfs://… / s3a://… on a cluster — exactly
+        // this dial's production use), which java.nio Paths cannot parse
+        // (FileSystemNotFoundException) — the round-4 form re-set the dir
+        // on EVERY truncate there, spawning a subdir per iteration.
+        val hconf = sc.hadoopConfiguration
+        def qualified(p: org.apache.hadoop.fs.Path): String =
+          p.getFileSystem(hconf).makeQualified(p).toString
+        val target = qualified(new org.apache.hadoop.fs.Path(dir))
+        val currentParent = sc.getCheckpointDir.flatMap(cd =>
+          Option(new org.apache.hadoop.fs.Path(cd).getParent).map(qualified))
         if (!currentParent.contains(target)) sc.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)

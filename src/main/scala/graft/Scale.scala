@@ -165,22 +165,32 @@ object Scale {
       df.write.mode("overwrite").parquet(outFile)
       return
     }
-    // a prior multi-file run may have left a DIRECTORY under this name —
-    // Files.move cannot replace a non-empty dir, so clear it first
-    val existing = java.nio.file.Paths.get(outFile)
-    if (java.nio.file.Files.isDirectory(existing))
-      java.nio.file.Files.walk(existing)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    // stage FIRST: only once the replacement data is fully written may a
+    // pre-existing output (e.g. a prior multi-file run's DIRECTORY under
+    // this name, which Files.move cannot replace) be deleted — a failure
+    // mid-write then leaves the previous good output intact instead of
+    // destroying it (round-4 advice).
     val tmp = outFile + ".staging"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val dir = java.nio.file.Paths.get(tmp)
-    val part = java.nio.file.Files.list(dir).filter(_.getFileName.toString.startsWith("part-"))
-      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    val part = {
+      val ls = java.nio.file.Files.list(dir)
+      try ls.filter(_.getFileName.toString.startsWith("part-"))
+        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+      finally ls.close()
+    }
+    // walk streams hold a directory fd until closed — try/finally, not a
+    // bare forEach (round-4 advice: leaked one fd per call)
+    def deleteTree(p: java.nio.file.Path): Unit = {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      finally walk.close()
+    }
+    val existing = java.nio.file.Paths.get(outFile)
+    if (java.nio.file.Files.isDirectory(existing)) deleteTree(existing)
     java.nio.file.Files.move(part, java.nio.file.Paths.get(outFile),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // remove the staging dir (success marker + crc files)
-    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    deleteTree(dir) // remove the staging dir (success marker + crc files)
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.Lineage.TruncateOps
 import graft.plans.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -383,7 +384,7 @@ object Dedup {
     // estimate-only → no shingle table is ever needed: signatures come
     // from the row-local codegen expression (zero exchanges before the
     // band join — the whole operator is scan → project → 1 pair shuffle).
-    // Materializing the signature table (localCheckpoint) is the
+    // Materializing the signature table (Lineage.truncate) is the
     // cache-vs-recompute dial: it wins while the 64-long rows fit
     // executor storage, and loses when they don't — at the 10000× point
     // (50 M docs ≈ 30 GB of signature blocks) the cached form spilled
@@ -394,11 +395,11 @@ object Dedup {
     // ~10 M docs, metadata-count-cheap).
     val sigBase = signaturesRowLevel(Tables.documents(s, d))
     val sig = s.conf.get("spark.graft.dedup.materializeSigs", "auto") match {
-      case "true"  => sigBase.localCheckpoint(true)
+      case "true"  => sigBase.truncated
       case "false" => sigBase
       case _ =>
         if (Tables.documents(s, d).count() <= 10000000L)
-          sigBase.localCheckpoint(true)
+          sigBase.truncated
         else sigBase
     }
     val bands = bandsOf(sig)
@@ -426,12 +427,12 @@ object Dedup {
     // sides of exact verification). Materialize it once — the
     // query-local analog of the materialized shingle table a 100 TB
     // deployment would keep as a real table.
-    val ex = exIn.localCheckpoint(true)
+    val ex = exIn.truncated
     // One row per doc, 64 longs — tiny; materialized because it feeds
     // four plan branches (two band sides, two agreement-join sides).
     // Callers whose features are word 3-grams supply the shuffle-free
     // row-level signature instead of the shingle-table aggregation.
-    val sig = sigOpt.getOrElse(signaturesOf(ex)).localCheckpoint(true)
+    val sig = sigOpt.getOrElse(signaturesOf(ex)).truncated
     val bands = bandsOf(sig)
     val candRaw = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -503,10 +504,10 @@ object Dedup {
     val aSrc = (0 to 9).map(i => s"src$i")
     val inA = col("source").isin(aSrc: _*)
     val (da, db) = (docs.filter(inA), docs.filter(!inA))
-    val exA = shinglesOf(da).localCheckpoint(true)
-    val exB = shinglesOf(db).localCheckpoint(true)
-    val sigA = signaturesRowLevel(da).localCheckpoint(true)
-    val sigB = signaturesRowLevel(db).localCheckpoint(true)
+    val exA = shinglesOf(da).truncated
+    val exB = shinglesOf(db).truncated
+    val sigA = signaturesRowLevel(da).truncated
+    val sigB = signaturesRowLevel(db).truncated
     val candRaw = bandsOf(sigA).as("a").join(bandsOf(sigB).as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))

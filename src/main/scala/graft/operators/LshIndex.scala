@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.Lineage.TruncateOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,7 +9,7 @@ import org.apache.spark.sql.functions._
   * ingestion shape at 100 TB. q71 answers "which new docs near-dup the
   * corpus" by recomputing BOTH sides per run; at scale the corpus side
   * (signatures over 100 TB) dominates and never changes between crawls.
-  * This module materializes the corpus side ONCE as four bucketed tables
+  * This module materializes the corpus side ONCE as five bucketed tables
   * — the dedup analog of the ANN family's persisted IVF index (q76c):
   *
   *  - `bands`    (doc_id, band, bkey)  bucketed by `bkey` — the probe
@@ -18,7 +19,9 @@ import org.apache.spark.sql.functions._
   *    signature-agreement pre-filter;
   *  - `shingles` (doc_id, h)           bucketed by `doc_id` — feeds
   *    exact-Jaccard verification without re-reading corpus text;
-  *  - `sizes`    (doc_id, sz)          bucketed by `doc_id`.
+  *  - `sizes`    (doc_id, sz)          bucketed by `doc_id`;
+  *  - `committed` (doc_id)             bucketed by `doc_id` — the
+  *    append-idempotence marker, written LAST (see [[append]]).
   *
   * A probe touches corpus TEXT never and corpus parquet only through
   * bucket-pruned joins; `append` folds a processed batch into the index
@@ -31,7 +34,7 @@ object LshIndex {
   private[graft] val corpusSources: Seq[String] = (0 to 9).map(i => s"src$i")
   val Buckets = 32
 
-  private val IndexKinds = Seq("bands", "sigs", "shingles", "sizes")
+  private val IndexKinds = Seq("bands", "sigs", "shingles", "sizes", "committed")
 
   /** Index tables are namespaced on a sha-256 prefix of the CANONICALIZED
     * data dir: two spellings of one dir (`x` vs `x/.`) share an index,
@@ -41,19 +44,24 @@ object LshIndex {
   private[graft] def tbl(kind: String, d: String): String =
     s"graft_lshidx_${kind}_${graft.DirKeys.digest(d)}"
 
-  /** Write the four index tables for `docs` (build or append).
+  /** Write the five index tables for `docs` (build or append).
     *
-    * `sizes` — the idempotence key [[append]] anti-joins against — is
-    * written FIRST: a write that dies partway leaves docs marked present
-    * with some tables missing, which probes handle safely (inner joins
-    * drop them — under-reporting, repairable by rebuild), whereas the
-    * old sizes-last order let a RETRIED append re-append all four tables
-    * for docs whose sizes row never landed — duplicate sigs/shingles
-    * rows that inflate probe intersections (corruption, not omission).
+    * `committed` — the idempotence key [[append]] anti-joins against —
+    * is a pure MARKER table (doc_id only) written LAST: a write that
+    * dies before it lands leaves the batch's docs UNcommitted, so the
+    * retry re-appends them instead of skipping them (the round-4 advice
+    * find: keying idempotence on an artifact written FIRST made a
+    * crashed-then-retried append silently drop its docs from every
+    * future probe, on both join sides, with nothing left to detect it).
+    * The price is bounded the other way: a retry after a partial write
+    * can leave DUPLICATE rows for the affected docs in the four DATA
+    * tables — which [[probe]] is insensitive to by construction
+    * (candidate pairs deduplicated, intersections counted DISTINCT,
+    * sizes max-aggregated, self-pairs guarded).
     */
   private def write(docs: DataFrame, d: String, mode: String): Unit = {
-    val sig = Dedup.signaturesRowLevel(docs).localCheckpoint(true)
-    val ex = Dedup.shinglesOf(docs).localCheckpoint(true)
+    val sig = Dedup.signaturesRowLevel(docs).truncated
+    val ex = Dedup.shinglesOf(docs).truncated
     def out(df: DataFrame, kind: String, key: String): Unit =
       df.write.bucketBy(Buckets, key).sortBy(key)
         .mode(mode).format("parquet").saveAsTable(tbl(kind, d))
@@ -61,6 +69,10 @@ object LshIndex {
     out(Dedup.bandsOf(sig), "bands", "bkey")
     out(sig, "sigs", "doc_id")
     out(ex, "shingles", "doc_id")
+    // marker LAST — all docs attempted, including shingle-less ones
+    // (< 3 tokens): they have no signature to probe, and committing them
+    // stops a retry from re-running their (empty) extraction forever
+    out(docs.select(col("doc_id")).distinct(), "committed", "doc_id")
   }
 
   /** Build the index over the EXISTING corpus (sources src0-src9), once
@@ -99,8 +111,10 @@ object LshIndex {
       val loc = java.nio.file.Paths.get(wh, tbl(kind, d))
       if (java.nio.file.Files.exists(loc)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        val walk = java.nio.file.Files.walk(loc) // close: holds a dir fd
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
       }
     }
     write(Tables.documents(s, d).filter(col("source").isin(corpusSources: _*)),
@@ -115,8 +129,8 @@ object LshIndex {
     */
   def append(s: SparkSession, docs: DataFrame, d: String): Unit = {
     val fresh =
-      if (s.catalog.tableExists(tbl("sizes", d)))
-        docs.join(s.table(tbl("sizes", d)).select(col("doc_id")),
+      if (s.catalog.tableExists(tbl("committed", d)))
+        docs.join(s.table(tbl("committed", d)).select(col("doc_id")),
           Seq("doc_id"), "left_anti")
       else docs
     write(fresh, d, "append")
@@ -174,12 +188,16 @@ object LshIndex {
     // doc_id rows in the sizes union that duplicate every pair touching
     // it. The anti-join makes append-then-probe safe for ANY batch; the
     // indexed side still reports those docs as near-dups of future ones.
+    // Keyed on `committed` — the same artifact append's idempotence keys
+    // on, so a doc in the crashed-append limbo (data rows landed, marker
+    // not) stays on the BATCH side until its retry commits it (the
+    // residual self-pair risk that creates is guarded in candRaw below).
     val batch = batchOpt.getOrElse(
         Tables.documents(s, d).filter(!col("source").isin(corpusSources: _*)))
-      .join(s.table(tbl("sizes", d)).select(col("doc_id")),
+      .join(s.table(tbl("committed", d)).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
-    val sigB = Dedup.signaturesRowLevel(batch).localCheckpoint(true)
-    val exB = Dedup.shinglesOf(batch).localCheckpoint(true)
+    val sigB = Dedup.signaturesRowLevel(batch).truncated
+    val exB = Dedup.shinglesOf(batch).truncated
     val idxBands = s.table(tbl("bands", d))
     val idxSigs = s.table(tbl("sigs", d))
     val idxEx = s.table(tbl("shingles", d))
@@ -189,8 +207,11 @@ object LshIndex {
     // and re-shuffle the bucketed side. A cross-band bkey equality needs a
     // 64-bit xxhash collision, and such a phantom candidate is then killed
     // by agreement + exact verification — correctness is unaffected.
+    // a =!= b: a doc whose append crashed pre-marker sits in the index
+    // data tables AND (uncommitted) on the batch side — drop the self-
+    // pair it would otherwise form until its retry commits it.
     val candRaw = idxBands.as("a").join(Dedup.bandsOf(sigB).as("b"),
-        col("a.bkey") === col("b.bkey"))
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .dropDuplicates("a", "b")
     val minAgree = math.max(0,
@@ -205,14 +226,20 @@ object LshIndex {
       .filter(Dedup.agreement("sa", "sb") >= minAgree)
       .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
-    val sizes = idxSizes.unionByName(
-      exB.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")))
+    // max-agg collapses any duplicated index sizes rows (crash-retry
+    // residue); planned with NO exchange — the table is bucketed by
+    // doc_id, which satisfies the aggregation's clustering requirement
+    val sizes = idxSizes.groupBy(col("doc_id")).agg(max(col("sz")).as("sz"))
+      .unionByName(exB.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")))
     val candA = idxEx.join(cand, col("doc_id") === col("a"))
       .select(col("a"), col("b"), col("h"))
+    // DISTINCT h: duplicated index shingle rows must not inflate the
+    // intersection (clean-path ≡ count — shinglesOf emits distinct
+    // (doc_id, h), so (a, b, h) is unique absent crash-retry residue)
     val inter = candA.join(exB.as("y"),
         col("y.doc_id") === col("b") && col("y.h") === candA("h"))
       .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(countDistinct(candA("h")).as("inter"))
     Dedup.joinSizesAndScore(inter, sizes, tau)
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.Lineage.TruncateOps
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -278,7 +279,12 @@ object Multimodal {
   /** Audio-style near-dup over the frame-energy profiles (q108): assets
     * whose decoded frame sequences carry IDENTICAL energy profiles (at
     * `maxL1 = 0`, the exhaustive-oracle default) or nearly so (the
-    * tolerant dial: ≤ 1 divergent frame within total L1 `maxL1`).
+    * tolerant dial). The dial's recall GUARANTEE (spec-pinned in
+    * StreamAndMultimodalSpec): total for pairs diverging in AT MOST ONE
+    * frame within L1 `maxL1`; a pair diverging in 2+ frames shares no
+    * leave-one-out band even when its total L1 fits the dial — every
+    * mask leaves a divergent frame exposed. Multi-frame drift would need
+    * multi-mask (leave-two-out) banding, squaring the band count.
     * Candidates come from LEAVE-ONE-OUT banding — band j hashes the
     * whole profile with frame j masked, so profile-identical pairs share
     * EVERY band (recall 1 at maxL1 = 0) and pairs differing in exactly
@@ -304,7 +310,7 @@ object Multimodal {
     // single-frame [0] profile
     val en = frameEnergies(assetFrame.filter(length(col("payload")) > 0))
       .withColumn("fp", deltaSignFp(col("energies")))
-      .localCheckpoint(true) // feeds both band sides + verification
+      .truncated // feeds both band sides + verification
     val e = col("energies")
     val lm = en.select(col("asset_id"), col("energies"),
       posexplode(transform(sequence(lit(0), size(e) - 1),

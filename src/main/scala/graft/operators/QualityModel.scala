@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.Lineage.TruncateOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -22,7 +23,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   * full GD iterations.
   *
   * Scale shape: ONE corpus scan builds the (4 ints + label) feature
-  * table (localCheckpoint'd — it is corpus-rows × 5 longs); each
+  * table (lineage-truncated — it is corpus-rows × 5 longs); each
   * iteration is one map-side-partial aggregate over it (6 sums), and
   * only the 4-weight model crosses the driver per iteration.
   */
@@ -54,7 +55,7 @@ object QualityModel {
     */
   def train(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
     import s.implicits._
-    val f = features(s, d).localCheckpoint(true)
+    val f = features(s, d).truncated
     def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 0))).cast(DoubleType)
     var w = Array(0L, 0L, 0L, 0L) // w1, w2, w3, b — 1e-6 grid
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long, Long, Long)]

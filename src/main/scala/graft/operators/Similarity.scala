@@ -211,7 +211,7 @@ object Similarity {
     * analog of the bucketed index table a cluster deployment would
     * maintain next to the corpus.
     */
-  private val indexDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val indexDirs = scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   /** Write the embeddings as a parquet table PARTITIONED BY the LSH
     * bucket. Directory-partitioning (not `bucketBy`) is deliberate: the
@@ -228,7 +228,7 @@ object Similarity {
   }
 
   private def bucketedIndexPath(s: SparkSession, d: String): String =
-    indexDirs.getOrElseUpdate(d, {
+    indexDirs.getOrElseUpdate((d, embStamp(d)), {
       val t = java.nio.file.Files.createTempDirectory("graft_ann_index_")
       t.toFile.deleteOnExit()
       buildBucketedIndex(s, d, t.toString)
@@ -256,7 +256,7 @@ object Similarity {
     * a deployment stores next to its vector index.
     */
   private val codebooks = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Int), Array[Array[Double]]]
+    .empty[(String, String, Int, Int), Array[Array[Double]]]
 
   /** True IVF ANN: a k-means-trained codebook (not random hyperplanes)
     * partitions the corpus into cells; a query ranks the CENTROIDS
@@ -306,13 +306,21 @@ object Similarity {
     * gets a fresh key instead of silently reusing a codebook trained on
     * the old vectors.
     */
+  /** Size+mtime stamp of the embeddings file — the freshness component of
+    * every IVF artifact key (on-disk path AND the JVM caches below): a
+    * regenerated testdata dir must roll the key everywhere, or a live JVM
+    * keeps serving a codebook trained on the old vectors (round-4 find:
+    * the disk path rolled but the in-memory `codebooks` key did not).
+    */
+  private def embStamp(d: String): String = {
+    val emb = java.nio.file.Paths.get(d, "embeddings.parquet")
+    try s"${java.nio.file.Files.size(emb)}_${java.nio.file.Files.getLastModifiedTime(emb).toMillis}"
+    catch { case _: java.io.IOException => "nofile" }
+  }
+
   private def ivfStableDir(s: SparkSession, d: String, cells: Int,
                            iters: Int): java.nio.file.Path = {
-    val emb = java.nio.file.Paths.get(d, "embeddings.parquet")
-    val stamp =
-      try s"${java.nio.file.Files.size(emb)}_${java.nio.file.Files.getLastModifiedTime(emb).toMillis}"
-      catch { case _: java.io.IOException => "nofile" }
-    val dig = graft.DirKeys.digest(d, stamp)
+    val dig = graft.DirKeys.digest(d, embStamp(d))
     val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
     java.nio.file.Paths.get(wh, s"graft_ivfidx_${dig}_${cells}_$iters")
   }
@@ -327,9 +335,9 @@ object Similarity {
     * read-back vs retrain are bit-identical — q76 ≡ q76b bridge either
     * way.
     */
-  private def trainedCodebook(s: SparkSession, d: String, cells: Int,
-                              iters: Int): Array[Array[Double]] =
-    codebooks.getOrElseUpdate((d, cells, iters), {
+  private[graft] def trainedCodebook(s: SparkSession, d: String, cells: Int,
+                                     iters: Int): Array[Array[Double]] =
+    codebooks.getOrElseUpdate((d, embStamp(d), cells, iters), {
       val cb = ivfStableDir(s, d, cells, iters).resolve("codebook")
       if (java.nio.file.Files.exists(cb.resolve("_SUCCESS")))
         s.read.parquet(cb.toString).orderBy("cell").collect()
@@ -484,9 +492,11 @@ object Similarity {
     semDedup(s, d, cellsFor(n, targetPerCell), iters, tau)
   }
 
-  /** Persisted IVF index dirs, keyed like [[codebooks]]. */
+  /** Persisted IVF index dirs, keyed like [[codebooks]] (embeddings stamp
+    * included — same staleness argument).
+    */
   private val ivfIndexDirs = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Int), String]
+    .empty[(String, String, Int, Int), String]
 
   /** Materialize the IVF index the way a deployment stores it: the
     * vectors parquet PARTITIONED BY assigned cell (probe sets prune at
@@ -518,7 +528,7 @@ object Similarity {
     * LshIndex.buildIndex lesson.
     */
   private def ivfIndexPath(s: SparkSession, d: String, cells: Int, iters: Int): String =
-    ivfIndexDirs.getOrElseUpdate((d, cells, iters), {
+    ivfIndexDirs.getOrElseUpdate((d, embStamp(d), cells, iters), {
       val p = ivfStableDir(s, d, cells, iters)
       val complete = java.nio.file.Files.exists(p.resolve("vectors/_SUCCESS")) &&
         java.nio.file.Files.exists(p.resolve("codebook/_SUCCESS"))

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import graft.Lineage.TruncateOps
 
 /** Structured Streaming re-expression of the reference's continuous
   * pipeline (SURVEY.md §2a rows 5-6).
@@ -456,7 +457,7 @@ object StreamOps {
           val sb = batch.sparkSession
           // row-local codegen signatures: the per-batch signature stage
           // is a stateless projection, no exchanges
-          val sig = Dedup.signaturesRowLevel(batch).localCheckpoint(true)
+          val sig = Dedup.signaturesRowLevel(batch).truncated
           val bands = Dedup.bandsOf(sig)
           // batch-internal near-dup clusters, keep-min
           val candIn = bands.as("a").join(bands.as("b"),
@@ -472,7 +473,7 @@ object StreamOps {
           val losers = Dedup.resolveClusters(pairsIn)
             .filter(col("rep") =!= col("doc_id")).select(col("doc_id"))
           val survivors = sig.join(losers, Seq("doc_id"), "left_anti")
-            .localCheckpoint(true)
+            .truncated
           // cross-batch: banded probe of the persistent seen-signature table
           val seen = sb.read.parquet(sigDir)
           val candX = Dedup.bandsOf(survivors).as("n").join(Dedup.bandsOf(seen).as("o"),
@@ -485,7 +486,7 @@ object StreamOps {
             .filter(Dedup.agreement("sa", "sb") >= minAgree)
             .select(col("a").as("doc_id")).distinct()
           val kept = survivors.join(suppressed, Seq("doc_id"), "left_anti")
-            .localCheckpoint(true)
+            .truncated
           kept.write.mode("append").parquet(sigDir)
           kept.select(col("doc_id"),
               xxhash64((0 until Dedup.MinhashPerms).map(i => col(s"m$i")): _*).as("sig8"))
@@ -575,7 +576,7 @@ object StreamOps {
     // static benchmark shingle set — tiny, reused by every batch
     val bench = CorpusOps.shingleHashes(
         graft.Tables.documents(s, d).filter(col("source") === "src0"), 8)
-      .select(col("h")).distinct().localCheckpoint(true)
+      .select(col("h")).distinct().truncated
     val dir = pacedDir(s, s"$d/documents.parquet", nFiles)
     val schema = s.read.parquet(dir).schema
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -602,12 +603,12 @@ object StreamOps {
               .filter(col("batch") =!= batchId).drop("batch")
           def writeState(df: DataFrame, name: String): Unit =
             df.write.mode("overwrite").parquet(s"$work/$name/batch=$batchId")
-          val batch = batch0.localCheckpoint(true)
+          val batch = batch0.truncated
           // -- 1. near-dup pair maintenance (over ALL docs, like q51) --
-          val sig = Dedup.signaturesRowLevel(batch).localCheckpoint(true)
-          val ex = Dedup.shinglesOf(batch).localCheckpoint(true)
+          val sig = Dedup.signaturesRowLevel(batch).truncated
+          val ex = Dedup.shinglesOf(batch).truncated
           val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-            .localCheckpoint(true)
+            .truncated
           val bands = Dedup.bandsOf(sig)
           def agreed(cand: DataFrame, sigA: DataFrame): DataFrame = cand
             .join(sigA.as("sa"), col("a") === col("sa.doc_id"))
@@ -655,7 +656,7 @@ object StreamOps {
               col("f.source").as("source"), col("f.n_tokens").as("n_tokens"))
           val admitted = firstIn
             .join(readState("fps"), Seq("fp"), "left_anti")
-            .localCheckpoint(true)
+            .truncated
           writeState(admitted.select(col("fp")), "fps")
           writeState(admitted.select(col("doc_id"), col("source"),
             col("n_tokens")), "gated")

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench's full-suite artifact naming must FAIL CLOSED: with no round
+  * signal at all, persisting under a guessed default would overwrite a
+  * historical `bench_full_r<n>.json` (round-4 judge ask).
+  */
+class BenchRoundSpec extends AnyFunSuite {
+
+  test("env var wins verbatim") {
+    assert(Bench.inferRound(Some("7"), Seq("BENCH_r01.json")) === Some("7"))
+  }
+
+  test("empty env var is ignored, falls through to file inference") {
+    assert(Bench.inferRound(Some(""), Seq("BENCH_r04.json")) === Some("5"))
+  }
+
+  test("round = max(BENCH_r*) + 1, zero-padded or not") {
+    assert(Bench.inferRound(None,
+      Seq("BENCH_r01.json", "BENCH_r02.json", "BENCH_r04.json", "SURVEY.md"))
+      === Some("5"))
+    assert(Bench.inferRound(None, Seq("BENCH_r12.json")) === Some("13"))
+  }
+
+  test("no signal at all -> None (fail closed, do not persist)") {
+    assert(Bench.inferRound(None, Seq("SURVEY.md", "build.sbt")) === None)
+    assert(Bench.inferRound(None, Nil) === None)
+    assert(Bench.inferRound(Some(""), Nil) === None)
+  }
+}

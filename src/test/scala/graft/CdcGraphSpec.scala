@@ -86,6 +86,13 @@ class CdcGraphSpec extends AnyFunSuite {
       val entries = java.nio.file.Files.walk(dir).iterator().asScala
         .count(p => java.nio.file.Files.isRegularFile(p))
       assert(entries > 0, "no reliable-checkpoint files written")
+      // the session reuses ONE setCheckpointDir subdir across truncate
+      // calls: the parent comparison must match the fs-qualified URI
+      // sc.getCheckpointDir returns (round-4 advice: java.nio Paths choke
+      // on non-local URIs, re-spawning a subdir per iteration)
+      val ls = java.nio.file.Files.list(dir)
+      val subdirs = try ls.iterator().asScala.count(_ => true) finally ls.close()
+      assert(subdirs === 1, s"expected one reused checkpoint subdir, got $subdirs")
     } finally spark.conf.unset(Lineage.ConfKey)
   }
 

@@ -326,4 +326,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sameText.subsetOf(prod), "production simhash missed a same-text pair")
     assert(sameText.subsetOf(mir), "mirror simhash missed a same-text pair")
   }
+
+  test("trainedCodebook retrains when the embeddings file is regenerated in-session") {
+    // own copy of the embeddings — this test mutates it (the driver
+    // regenerates testdata between rounds; a live JVM must notice)
+    val t = java.nio.file.Files.createTempDirectory("graft_cbstamp_")
+    t.toFile.deleteOnExit()
+    val out = t.resolve("embeddings.parquet").toString
+    val src = spark.read.parquet(sf + "/embeddings.parquet")
+    src.write.mode("overwrite").parquet(out)
+    val cb1 = Similarity.trainedCodebook(spark, t.toString, 8, 3)
+    Thread.sleep(10) // distinct mtime even on coarse filesystem clocks
+    src.select(col("vec_id"),
+        transform(col("embedding"), x => -x).cast("array<float>").as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(out)
+    val cb2 = Similarity.trainedCodebook(spark, t.toString, 8, 3)
+    // deterministic Lloyd on negated vectors → negated centroids; a stale
+    // JVM-cache hit would return cb1 verbatim (round-4 find: the cache
+    // key omitted the embeddings stamp while the on-disk path rolled)
+    assert(cb1.map(_.toSeq).toSeq !== cb2.map(_.toSeq).toSeq,
+      "stale JVM-cached codebook served after in-session regeneration")
+  }
 }

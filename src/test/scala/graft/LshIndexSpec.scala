@@ -39,7 +39,7 @@ class LshIndexSpec extends AnyFunSuite {
     * spelling variant like "sf/." would now share sf's index — the old
     * trick this replaces.
     */
-  private lazy val linkedDir: String = {
+  private def newLinkedDir(): String = {
     val t = java.nio.file.Files.createTempDirectory("graft_lshidx_spec_")
     t.toFile.deleteOnExit()
     java.nio.file.Files.createSymbolicLink(
@@ -47,6 +47,7 @@ class LshIndexSpec extends AnyFunSuite {
       java.nio.file.Paths.get(sf, "documents.parquet").toRealPath())
     t.toString
   }
+  private lazy val linkedDir: String = newLinkedDir()
 
   test("two spellings of one dir share one index (canonicalized namespace)") {
     assert(LshIndex.tbl("bands", sf) === LshIndex.tbl("bands", sf + "/."))
@@ -106,6 +107,48 @@ class LshIndexSpec extends AnyFunSuite {
       .executedPlan.toString
     assert(plan.contains("Bucketed: true") || plan.contains("SelectedBucketsCount")
       || !plan.contains("Exchange"), plan.take(500))
+  }
+
+  test("crashed append (data landed, marker not) is RETRIED, not skipped; probe survives the duplicates") {
+    val d = newLinkedDir()
+    val batchAll = Tables.documents(spark, d)
+      .filter(!col("source").isin(LshIndex.corpusSources: _*))
+    val half1 = batchAll.filter(col("doc_id") % 2 === 0)
+    val half2 = batchAll.filter(col("doc_id") % 2 === 1)
+    LshIndex.buildIndex(spark, d)
+    val committedT = LshIndex.tbl("committed", d)
+    val corpusCommitted = spark.table(committedT).collect().map(_.getLong(0))
+    // clean reference: append half1, probe half2
+    LshIndex.append(spark, half1, d)
+    val clean = LshIndex.probe(spark, d, batchOpt = Some(half2))
+      .collect().map(_.toSeq).toSet
+    // simulate the crash window: half1's DATA rows are in the four data
+    // tables, but the committed marker write never landed — rewind
+    // `committed` to its pre-append content
+    spark.sql(s"DROP TABLE `$committedT`")
+    import spark.implicits._
+    corpusCommitted.toSeq.toDF("doc_id")
+      .write.bucketBy(LshIndex.Buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(committedT)
+    // the RETRY re-appends half1 (round-4 advice: the old sizes-keyed
+    // idempotence skipped it, silently losing the docs) → data tables
+    // now hold duplicate rows for half1
+    LshIndex.append(spark, half1, d)
+    val sigsT = spark.table(LshIndex.tbl("sigs", d))
+    assert(sigsT.groupBy("doc_id").count().filter(col("count") > 1).count() > 0L,
+      "retry did not re-append (no duplicates found — idempotence key still wrong?)")
+    // probes are insensitive to the duplicate residue: same pairs, same
+    // jaccards, no self-pairs, no duplicated result rows
+    val probed = LshIndex.probe(spark, d, batchOpt = Some(half2)).collect().map(_.toSeq)
+    assert(probed.length === probed.distinct.length, "duplicated result rows")
+    assert(probed.forall(r => r.head != r(1)), "self-pair emitted")
+    assert(probed.toSet === clean)
+    // and half1 is back on the index side for the DEFAULT probe (docs
+    // not silently vanished): committed covers half1 again
+    val committedNow = spark.table(committedT).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val half1Ids = half1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(half1Ids.subsetOf(committedNow))
   }
 
   test("paragraphDedup equals an independent window-based implementation") {

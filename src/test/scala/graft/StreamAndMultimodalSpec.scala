@@ -104,6 +104,40 @@ class StreamAndMultimodalSpec extends AnyFunSuite {
     assert(tol.contains((1L, 4L)))
   }
 
+  test("multimodal: audio tolerant dial's recall GUARANTEE — total for <= 1 divergent frame, none for 2+") {
+    import spark.implicits._
+    // The leave-one-out banding contract (round-4 ask, spec-named):
+    //   recall 1 at maxL1 = 0 (identical profiles share EVERY band) and
+    //   for any SINGLE-frame deviation within maxL1 (the band masking
+    //   that frame matches). A pair diverging in 2+ frames shares NO
+    //   band — even when its total L1 is within maxL1 — because every
+    //   mask leaves at least one divergent frame exposed. That is the
+    //   documented recall BOUND of the dial, not a bug: multi-frame
+    //   drift needs multi-mask banding (masking pairs of frames), which
+    //   squares the band count for a tail the exhaustive oracle shows
+    //   this corpus does not have.
+    val corpus = Seq(
+      (21L, "a" * 64),              // 4 frames of 16×'a' = [1552]*4
+      (22L, "a" * 64),              // identical profile
+      (23L, "a" * 63 + "c"),        // LAST frame +2: single-frame dev, L1 = 2
+      (31L, "d" * 64),              // [1600]*4
+      (32L, "e" + "d" * 62 + "e")   // frames 0 AND 3 each +1: L1 = 2 over TWO frames
+    ).toDF("asset_id", "payload")
+      .select(col("asset_id"), col("payload").cast("binary").as("payload"))
+    def pairs(maxL1: Long): Set[(Long, Long)] =
+      graft.operators.Multimodal.audioPairsFrom(corpus, maxL1)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs(0) === Set((21L, 22L)))
+    val tol = pairs(2)
+    // single-frame deviations within the dial: ALL found (recall 1)
+    assert(Set((21L, 22L), (21L, 23L), (22L, 23L)).subsetOf(tol))
+    // two-frame deviation with the SAME total L1: shares no band — the
+    // spec pins the bound so a silent banding change can't move it
+    assert(!tol.contains((31L, 32L)),
+      "2-frame deviation unexpectedly recalled — banding scheme changed?")
+    assert(tol === Set((21L, 22L), (21L, 23L), (22L, 23L)))
+  }
+
   test("multimodal: frame sampling yields bounded per-asset fan-out") {
     val frames = Multimodal.frameSample(Multimodal.assets(spark, sf), 16, 4)
     val counts = frames.groupBy("asset_id").agg(count(lit(1)).as("n"))
