@@ -177,6 +177,9 @@ object SparkEntry {
     "q86_trigram_lm"         -> ((s, d) => CorpusOps.trigramScore(s, d)),
     // MERGE INTO semantics: one full-outer shuffle applies U/D/I feed
     "q87_merge_upsert"       -> ((s, d) => Cdc.mergeUpsert(s, d)),
+    // q87 over the MAINTAINED o_orderkey-bucketed base: zero base-side
+    // exchange (only the delta-sized feed shuffles) — same oracle
+    "q87b_merge_upsert_bucketed" -> ((s, d) => Cdc.mergeUpsertBucketed(s, d)),
     // snapshot CDC diff by content hash — added/removed/changed
     "q88_snapshot_diff"      -> ((s, d) => Cdc.snapshotDiff(s, d)),
     // iterative PageRank, integer-ppm — engine-exact unrolled mirror
@@ -190,6 +193,9 @@ object SparkEntry {
     "q92_stream_merge"       -> ((s, d) => graft.streaming.StreamOps.streamMergeApply(s, d)),
     // materialized-view upkeep: base agg ⊕ delta agg, no base rescan
     "q93_incremental_agg"    -> ((s, d) => Cdc.incrementalAgg(s, d)),
+    // q93 over the o_custkey-bucketed base: the aggs AND the merge join
+    // all inherit the scan's partitioning — zero exchanges end to end
+    "q93b_incremental_agg_bucketed" -> ((s, d) => Cdc.incrementalAggBucketed(s, d)),
     // materialize q75's temperature mix by stochastic-rounded replication
     "q94_apply_mix"          -> ((s, d) => CorpusOps.applyMix(s, d)),
     // 2σ outliers via integer cross-multiplied moments — no floats at all
@@ -1156,9 +1162,14 @@ object SparkEntry {
     // q92 (streaming apply into keyed state) must land on the identical
     // final table, so it shares this oracle verbatim.
     "q87_merge_upsert" -> mergeApplySql,
+    "q87b_merge_upsert_bucketed" -> mergeApplySql, // bucketed base, same apply
     "q92_stream_merge" -> mergeApplySql,
     // incremental base ⊕ delta ≡ full recompute (associative integer sums)
     "q93_incremental_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q93b_incremental_agg_bucketed" -> // bucketed base, same maintenance
       """SELECT o_custkey, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -46,8 +46,72 @@ object Cdc {
         col("o_custkey").as("c_ck"), (col("o_totalprice") + 0.5).as("c_price")))
   }
 
-  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.orders(s, d)
+  /** Catalog name of the maintained bucketed ORDERS base for (dir, key).
+    * One table per join key a maintained pipeline actually uses — the
+    * MERGE path keys on `o_orderkey`, the incremental-agg path on
+    * `o_custkey`; bucket layout is per-key by nature.
+    */
+  private[graft] def bucketedOrdersTbl(d: String, key: String): String =
+    s"graft_cdcbase_${key}_${graft.DirKeys.digest(d)}"
+
+  /** Bucket count sized to the TABLE, not a constant: ~256 MB of source
+    * parquet per bucket (floor 32, cap 4096). A bucketed side removes
+    * its exchange but also PINS the join's partition count to the bucket
+    * count — no AQE re-split is possible on an exchange-free side. The
+    * 10 000× run found the failure mode: 32 buckets over 1.5 B orders
+    * forced the feed side's co-partitioned hash maps into 32 partitions
+    * of ~15 M rows each and OOM'd the shuffled-hash build. Sizing
+    * buckets by volume keeps per-bucket scans block-sized and the
+    * opposite side's per-partition state bounded at any SF.
+    */
+  private def ordersBuckets(s: SparkSession, d: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val bytes =
+      try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+      catch { case _: Exception => 0L }
+    math.max(32, math.min(4096, math.ceil(bytes / (256L << 20).toDouble).toInt))
+  }
+
+  /** The orders base as a MAINTAINED bucketed table (built once per
+    * catalog — offline layout work, the [[LshIndex.buildIndex]] stance):
+    * reads are hash-partitioned by `key` at the scan, so the CDC apply's
+    * full-outer join (q87) and the incremental agg's groupBy (q93) plan
+    * ZERO exchange on the base side. This is [[Layouts.writeBucketed]]
+    * applied to the engine's own heaviest measured shapes (the 7.3×/7.8×
+    * full-table-shuffle steps at the 10 000× point).
+    */
+  private[graft] def bucketedOrders(s: SparkSession, d: String, key: String): DataFrame = {
+    val t = bucketedOrdersTbl(d, key)
+    if (!s.catalog.tableExists(t)) {
+      // clear a stale warehouse dir from a previous JVM (in-memory
+      // catalog forgets managed tables on exit; saveAsTable would fail
+      // on the leftover non-empty location)
+      val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+      val loc = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(loc)) {
+        val walk = java.nio.file.Files.walk(loc)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      Layouts.writeBucketed(Tables.orders(s, d), t, key, ordersBuckets(s, d))
+    }
+    s.table(t)
+  }
+
+  def mergeUpsert(s: SparkSession, d: String): DataFrame =
+    mergeUpsertPlan(Tables.orders(s, d))
+
+  /** q87 with the base read from the maintained bucketed table: same
+    * plan, same oracle, but the base side of the full-outer MERGE join
+    * arrives pre-partitioned (no exchange) — only the delta-sized feed
+    * shuffles. The production form of MERGE upkeep at 100 TB.
+    */
+  def mergeUpsertBucketed(s: SparkSession, d: String): DataFrame =
+    mergeUpsertPlan(bucketedOrders(s, d, "o_orderkey"))
+
+  private def mergeUpsertPlan(base: DataFrame): DataFrame = {
     val changes = changeFeed(base)
     base.join(changes, col("o_orderkey") === col("k"), "full_outer")
       .filter(col("op").isNull || col("op") =!= "D")
@@ -82,14 +146,24 @@ object Cdc {
     * oracle runs. At 100 TB this is the nightly-ETL shape: the base agg
     * is a stored table and only delta-sized work happens per batch.
     */
-  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+  def incrementalAgg(s: SparkSession, d: String): DataFrame =
+    incrementalAggPlan(Tables.orders(s, d))
+
+  /** q93 with the facts read from the o_custkey-bucketed base: both the
+    * base-slice and delta-slice partial aggregates AND their full-outer
+    * merge join inherit the scan's hash partitioning — the whole
+    * maintenance pass plans with ZERO exchanges (plan-asserted).
+    */
+  def incrementalAggBucketed(s: SparkSession, d: String): DataFrame =
+    incrementalAggPlan(bucketedOrders(s, d, "o_custkey"))
+
+  private def incrementalAggPlan(orders: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     def part(df: DataFrame): DataFrame = df.groupBy(col("o_custkey")).agg(
       count(lit(1)).as("n"),
       sum(round(col("o_totalprice") * 1e4).cast(LongType)
         .cast(DecimalType(38, 0))).as("rev_q"))
     val b = bucket(col("o_orderkey"))
-    val orders = Tables.orders(s, d)
     val base = part(orders.filter(b =!= "f"))
       .withColumnsRenamed(Map("n" -> "n_b", "rev_q" -> "rev_b"))
     val delta = part(orders.filter(b === "f"))

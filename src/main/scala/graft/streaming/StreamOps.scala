@@ -503,6 +503,27 @@ object StreamOps {
   // one per sfDir (same lifecycle rationale as mergeWorkDirs)
   private val corpusWorkDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Bucket count of the maintainer's state tables — matches
+    * [[graft.operators.LshIndex.Buckets]]; at 100 TB a deployment sizes
+    * this to PROJECTED corpus volume / healthy-partition-size at table
+    * creation, and re-buckets via a compact rewrite when the corpus
+    * outgrows it. The count matters beyond file sizes: an exchange-free
+    * bucketed side PINS every join it feeds to its bucket count (no AQE
+    * re-split) — the q87b 10 000× find: too few buckets concentrated
+    * the probe side's per-partition state until a hash build OOM'd.
+    * Here the per-batch joins build on the BATCH side (small), so the
+    * test-SF constant is safe; the dial is documented for the real
+    * deployment.
+    */
+  private[graft] val CorpusStateBuckets = graft.operators.LshIndex.Buckets
+
+  /** Catalog name of one of the maintainer's bucketed state tables,
+    * namespaced like [[graft.operators.LshIndex.tbl]] (sha-256 of the
+    * canonicalized data dir).
+    */
+  private[graft] def corpusTbl(kind: String, d: String): String =
+    s"graft_strmcorp_${kind}_${graft.DirKeys.digest(d)}"
+
   /** STREAMING form of the q64 training-corpus pipeline — the one
     * mandated composition previously expressed only one-shot: documents
     * replayed as an ascending-doc_id micro-batch feed (a crawl's arrival
@@ -534,12 +555,23 @@ object StreamOps {
     * tail the one-shot pipeline plans — corpus-scan-free: it reads only
     * the maintained state tables.
     *
-    * At 100 TB the state dirs are the bucketed tables of [[graft.operators.LshIndex]]
-    * (probes then plan zero index-side exchange); here they are plain
-    * parquet appends, which the test SFs never feel. The foreachBatch
-    * stream runs on a persistent CHECKPOINT: a warm call finds no new
-    * files and re-assembles from state without re-streaming (the q92
-    * bootstrap lesson).
+    * The probed state lives on the [[graft.operators.LshIndex]] layout
+    * (round-5): `bands` bucketed by `bkey`, `sigs`/`shingles`/`sizes`
+    * bucketed by `doc_id`, `fps` bucketed by `fp` — so the cross-batch
+    * candidate join, the agreement joins, the verification join and the
+    * fp anti-join all plan ZERO exchange on the ACCUMULATED-STATE side
+    * (plan-asserted in StreamPacingSpec): per-batch shuffle cost is
+    * batch-sized forever, while state-side cost is a bucket-aligned scan.
+    * Each table is additionally partitioned by `batch`, and every write
+    * is a dynamic OVERWRITE of the batch's own partition — the replay-
+    * idempotence story below, stronger than append-markers: a retried
+    * batch cannot leave duplicates. The cross-batch join keys on `bkey`
+    * alone (band id is hashed into it — the q106 argument: a cross-band
+    * collision needs equal 64-bit xxhashes, and any such phantom
+    * candidate is agreement- and exact-Jaccard-verified, so the pair set
+    * is unchanged). The foreachBatch stream runs on a persistent
+    * CHECKPOINT: a warm call finds no new files and re-assembles from
+    * state without re-streaming (the q92 bootstrap lesson).
     */
   def trainingCorpusStream(s: SparkSession, d: String, nFiles: Int = 4,
                            minTokens: Int = 10, maxTokens: Int = 1000,
@@ -551,25 +583,48 @@ object StreamOps {
       val t = java.nio.file.Files.createTempDirectory("graft_stream_corpus_")
       t.toFile.deleteOnExit()
       val w = t.toString
-      // seed every state table empty with its schema, as the batch=-1
-      // partition — all later writes land as batch=<id> partitions (see
-      // the foreachBatch note on idempotent replay)
-      val sigCols = (0 until Dedup.MinhashPerms).map(i => lit(0L).as(s"m$i"))
-      s.range(0).select(col("id").as("doc_id") +: sigCols: _*)
-        .write.parquet(s"$w/sigs/batch=-1")
-      s.range(0).select(col("id").as("doc_id"), col("id").as("h"))
-        .write.parquet(s"$w/shingles/batch=-1")
-      s.range(0).select(col("id").as("doc_id"), col("id").as("sz"))
-        .write.parquet(s"$w/sizes/batch=-1")
+      // assembly-only state (read once, at the end — no per-batch probe
+      // joins): plain parquet, seeded empty with its schema as the
+      // batch=-1 partition; later writes land as batch=<id> partitions
       s.range(0).select(col("id").as("a"), col("id").as("b"))
         .write.parquet(s"$w/pairs/batch=-1")
-      s.range(0).select(col("id").cast("string").as("fp"))
-        .write.parquet(s"$w/fps/batch=-1")
       s.range(0).select(col("id").as("doc_id"), col("id").cast("string").as("source"),
           col("id").as("n_tokens"))
         .write.parquet(s"$w/gated/batch=-1")
       s.range(0).select(col("id").as("doc_id"))
         .write.parquet(s"$w/contam/batch=-1")
+      // PROBED state: partitioned-by-batch + BUCKETED catalog tables
+      // (the LshIndex layout). Created empty here; a fresh work dir
+      // means a fresh checkpoint and a full replay, so any same-named
+      // tables from a previous JVM are dropped (with their stale
+      // warehouse dirs — the in-memory catalog forgets them on exit).
+      val sigCols = (0 until Dedup.MinhashPerms).map(i => lit(0L).as(s"m$i"))
+      def seedTable(df: DataFrame, kind: String, key: String): Unit = {
+        val tn = corpusTbl(kind, d)
+        if (s.catalog.tableExists(tn)) s.sql(s"DROP TABLE `$tn`")
+        val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+        val loc = java.nio.file.Paths.get(wh, tn)
+        if (java.nio.file.Files.exists(loc)) {
+          val walk = java.nio.file.Files.walk(loc)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        df.withColumn("batch", lit(-1L))
+          .write.partitionBy("batch")
+          .bucketBy(CorpusStateBuckets, key).sortBy(key)
+          .format("parquet").saveAsTable(tn)
+      }
+      seedTable(s.range(0).select(col("id").as("doc_id"),
+        col("id").cast("int").as("band"), col("id").as("bkey")), "bands", "bkey")
+      seedTable(s.range(0).select(col("id").as("doc_id") +: sigCols: _*),
+        "sigs", "doc_id")
+      seedTable(s.range(0).select(col("id").as("doc_id"), col("id").as("h")),
+        "shingles", "doc_id")
+      seedTable(s.range(0).select(col("id").as("doc_id"), col("id").as("sz")),
+        "sizes", "doc_id")
+      seedTable(s.range(0).select(col("id").cast("string").as("fp")),
+        "fps", "fp")
       w
     })
     val minAgree = math.max(0, math.ceil((tau - 0.25) * Dedup.MinhashPerms).toInt)
@@ -580,7 +635,12 @@ object StreamOps {
     val dir = pacedDir(s, s"$d/documents.parquet", nFiles)
     val schema = s.read.parquet(dir).schema
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val OvrKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevOvr = s.conf.get(OvrKey)
     s.conf.set("spark.sql.shuffle.partitions", partsFor(d, "documents").toString)
+    // dynamic: writeTbl's overwrite-insertInto must replace ONLY the
+    // batch's own partition — static mode would truncate the whole table
+    s.conf.set(OvrKey, "dynamic")
     try {
       s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
         .writeStream
@@ -603,6 +663,22 @@ object StreamOps {
               .filter(col("batch") =!= batchId).drop("batch")
           def writeState(df: DataFrame, name: String): Unit =
             df.write.mode("overwrite").parquet(s"$work/$name/batch=$batchId")
+          // probed state: same read/replay contract, but through the
+          // BUCKETED tables — reads plan zero state-side exchange, the
+          // batch filter prunes at partition listing, and the write is a
+          // dynamic overwrite of this batch's own partition (insertInto
+          // is position-based: data columns in creation order, `batch`
+          // appended last). repartition(buckets, key) aligns the write
+          // with the bucket hash (same murmur3 pmod), so each batch
+          // lands ONE file per bucket instead of files × tasks.
+          def readTbl(kind: String): DataFrame =
+            sb.table(corpusTbl(kind, d))
+              .filter(col("batch") =!= batchId).drop("batch")
+          def writeTbl(df: DataFrame, kind: String, key: String): Unit =
+            df.repartition(CorpusStateBuckets, col(key))
+              .withColumn("batch", lit(batchId))
+              .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+              .insertInto(corpusTbl(kind, d))
           val batch = batch0.truncated
           // -- 1. near-dup pair maintenance (over ALL docs, like q51) --
           val sig = Dedup.signaturesRowLevel(batch).truncated
@@ -615,35 +691,51 @@ object StreamOps {
             .join(sig.as("sb"), col("b") === col("sb.doc_id"))
             .filter(Dedup.agreement("sa", "sb") >= minAgree)
             .select(col("a"), col("b"))
-          def verified(cand: DataFrame, exA: DataFrame, szs: DataFrame): DataFrame = {
+          // szA/szB split so the cross-batch case joins each pair side
+          // against ITS sizes table — the state side stays bucketed by
+          // doc_id (no exchange) instead of disappearing into a union
+          def verified(cand: DataFrame, exA: DataFrame, szA: DataFrame,
+                       szB: DataFrame): DataFrame = {
             val candA = exA.join(cand, col("doc_id") === col("a"))
               .select(col("a"), col("b"), col("h"))
             val inter = candA.join(ex.as("y"),
                 col("y.doc_id") === col("b") && col("y.h") === candA("h"))
               .groupBy(col("a"), col("b"))
               .agg(count(lit(1)).as("inter"))
-            Dedup.joinSizesAndScore(inter, szs, tau).select(col("a"), col("b"))
+            inter // Dedup.joinSizesAndScore with per-side sizes sources
+              .join(szA.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+              .join(szB.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+              .withColumn("jaccard", round(col("inter").cast("double") /
+                (col("sza") + col("szb") - col("inter")), 4))
+              .filter(col("jaccard") >= tau)
+              .select(col("a"), col("b"))
           }
           val candIn = bands.as("a").join(bands.as("b"),
               col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
               col("a.doc_id") < col("b.doc_id"))
             .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
             .dropDuplicates("a", "b")
-          val oldSig = readState("sigs")
-          val oldEx = readState("shingles")
-          val oldSz = readState("sizes")
+          val oldSig = readTbl("sigs")
+          val oldEx = readTbl("shingles")
+          val oldSz = readTbl("sizes")
           // ascending replay ⇒ state doc_ids < batch doc_ids: (a, b) is
-          // already the self-join's (smaller, larger) orientation
-          val candX = Dedup.bandsOf(oldSig).as("a").join(bands.as("b"),
-              col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+          // already the self-join's (smaller, larger) orientation. The
+          // state side reads its PERSISTED bands pre-bucketed by bkey —
+          // no recompute from sigs, no state-side shuffle — and the join
+          // keys on bkey ALONE (band identity is hashed into it; adding
+          // `band` would demand co-partitioning on both columns and
+          // re-shuffle the bucketed side — the q106 lesson verbatim).
+          val candX = readTbl("bands").as("a").join(bands.as("b"),
+              col("a.bkey") === col("b.bkey"))
             .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
             .dropDuplicates("a", "b")
-          writeState(verified(agreed(candIn, sig), ex, sizes)
+          writeState(verified(agreed(candIn, sig), ex, sizes, sizes)
             .unionByName(verified(agreed(candX, oldSig), oldEx,
-              oldSz.unionByName(sizes))), "pairs")
-          writeState(sig, "sigs")
-          writeState(ex, "shingles")
-          writeState(sizes, "sizes")
+              oldSz, sizes)), "pairs")
+          writeTbl(bands, "bands", "bkey")
+          writeTbl(sig, "sigs", "doc_id")
+          writeTbl(ex, "shingles", "doc_id")
+          writeTbl(sizes, "sizes", "doc_id")
           // -- 2. quality gate + exact-dup admission (keep-first) --
           val gated = batch
             .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))).cast("long"))
@@ -655,9 +747,9 @@ object StreamOps {
             .select(col("fp"), col("f.doc_id").as("doc_id"),
               col("f.source").as("source"), col("f.n_tokens").as("n_tokens"))
           val admitted = firstIn
-            .join(readState("fps"), Seq("fp"), "left_anti")
+            .join(readTbl("fps"), Seq("fp"), "left_anti")
             .truncated
-          writeState(admitted.select(col("fp")), "fps")
+          writeTbl(admitted.select(col("fp")), "fps", "fp")
           writeState(admitted.select(col("doc_id"), col("source"),
             col("n_tokens")), "gated")
           // -- 3. decontamination flags for this batch --
@@ -669,7 +761,10 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .start()
         .awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set(OvrKey, prevOvr)
+    }
     // -- final assembly: the identical relational tail, corpus-scan-free --
     val losers = Dedup.resolveClusters(
         s.read.parquet(s"$work/pairs").drop("batch"))

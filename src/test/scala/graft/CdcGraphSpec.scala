@@ -60,6 +60,34 @@ class CdcGraphSpec extends AnyFunSuite {
     assert(out.count(_._2 == "added") == buckets.values.count(_ == "2"))
   }
 
+  test("bucketed CDC base: q87b/q93b ≡ plain forms; base-side exchange gone, q93b fully exchange-free") {
+    val sf = SharedSpark.sf
+    // result equivalence (both outputs totally ordered on a unique key)
+    assert(Cdc.mergeUpsertBucketed(spark, sf).collect().map(_.toSeq) ===
+      Cdc.mergeUpsert(spark, sf).collect().map(_.toSeq))
+    assert(Cdc.incrementalAggBucketed(spark, sf).collect().map(_.toSeq) ===
+      Cdc.incrementalAgg(spark, sf).collect().map(_.toSeq))
+    // plan shape, in the shuffle-join regime (tiny SF would broadcast)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // q93b: aggs and merge join all inherit the bucketed scan's
+      // partitioning — ZERO hash exchanges (the final orderBy's range
+      // exchange is the only shuffle in the whole plan)
+      val planAgg = Cdc.incrementalAggBucketed(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(planAgg.contains("Bucketed: true"), planAgg.take(2000))
+      assert(!planAgg.contains("Exchange hashpartitioning"), planAgg.take(3000))
+      // q87b: the base side of the full-outer MERGE join reads bucketed;
+      // only the feed side exchanges (exactly one hash exchange)
+      val planMerge = Cdc.mergeUpsertBucketed(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(planMerge.contains("Bucketed: true"), planMerge.take(2000))
+      assert("Exchange hashpartitioning".r.findAllIn(planMerge).length === 1,
+        planMerge.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("pageRank: ranks positive, deterministic across runs, respects k") {
     val a = Graph.pageRank(spark, SharedSpark.sf, iters = 2, k = 20)
       .as[(Long, Long)].collect()

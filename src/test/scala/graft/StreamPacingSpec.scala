@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.StreamOps
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -48,6 +49,38 @@ class StreamPacingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val warm = StreamOps.trainingCorpusStream(spark, sf)
       .collect().map(_.toSeq)
     assert(warm === batchOut)
+  }
+
+  test("maintainer's cross-batch probe plans ZERO exchange on the accumulated-state side") {
+    // warm call: reuses (or creates) the maintained state tables
+    StreamOps.trainingCorpusStream(spark, sf).count()
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // tiny state at this SF would broadcast; force the shuffle-join
+    // regime the bucketing exists for (the LshIndexSpec pattern)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = spark.read.parquet(sf + "/documents.parquet").limit(50)
+      val bands = graft.operators.Dedup.bandsOf(
+        graft.operators.Dedup.signaturesRowLevel(batch))
+      // the exact per-batch shape: persisted bands (minus own partition)
+      // ⋈ in-flight batch bands on bkey alone
+      val st = spark.table(StreamOps.corpusTbl("bands", sf))
+        .filter(col("batch") =!= 999L).drop("batch")
+      val plan = st.as("a").join(bands.as("b"), col("a.bkey") === col("b.bkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+        plan.take(2000))
+      // the fp admission anti-join: state side likewise exchange-free
+      val fps = spark.table(StreamOps.corpusTbl("fps", sf))
+        .filter(col("batch") =!= 999L).drop("batch")
+      val probeF = batch.select(md5(col("text")).as("fp"))
+      val plan2 = probeF.join(fps, Seq("fp"), "left_anti")
+        .queryExecution.executedPlan.toString
+      assert(plan2.contains("Bucketed: true"), plan2.take(2000))
+      assert("Exchange hashpartitioning".r.findAllIn(plan2).length === 1,
+        plan2.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("session windows merge identically across micro-batch boundaries") {
