@@ -506,7 +506,7 @@ object StreamOps {
   /** Bucket count of the maintainer's state tables — matches
     * [[graft.operators.LshIndex.Buckets]]; at 100 TB a deployment sizes
     * this to PROJECTED corpus volume / healthy-partition-size at table
-    * creation, and re-buckets via a compact rewrite when the corpus
+    * creation, and re-buckets via [[compactCorpusState]] when the corpus
     * outgrows it. The count matters beyond file sizes: an exchange-free
     * bucketed side PINS every join it feeds to its bucket count (no AQE
     * re-split) — the q87b 10 000× find: too few buckets concentrated
@@ -523,6 +523,92 @@ object StreamOps {
     */
   private[graft] def corpusTbl(kind: String, d: String): String =
     s"graft_strmcorp_${kind}_${graft.DirKeys.digest(d)}"
+
+  /** The maintainer's probed state tables and their bucket keys. */
+  private[graft] val CorpusStateKinds: Seq[(String, String)] = Seq(
+    "bands" -> "bkey", "sigs" -> "doc_id", "shingles" -> "doc_id",
+    "sizes" -> "doc_id", "fps" -> "fp")
+
+  /** Finish a [[compactCorpusState]] interrupted between its DROP and
+    * RENAME (the [[graft.operators.LshIndex]] recover pattern): the
+    * compacted rows survive whole in the `_compacting` staging table,
+    * so complete the swap instead of losing the accumulated state.
+    */
+  private def recoverCorpusCompacting(s: SparkSession, d: String): Unit =
+    CorpusStateKinds.foreach { case (kind, _) =>
+      val t = corpusTbl(kind, d)
+      val tmp = t + "_compacting"
+      if (!s.catalog.tableExists(t) && s.catalog.tableExists(tmp))
+        renameAndRepair(s, tmp, t)
+    }
+
+  /** RENAME + re-sync partition metadata: unlike the unpartitioned
+    * LshIndex tables, these are PARTITIONED — the catalog records a
+    * location per `batch=` partition, and ALTER TABLE RENAME moves the
+    * directory without rewriting those, leaving every partition pointing
+    * at the vanished staging path (scans then read empty). MSCK re-lists
+    * them from the moved directory.
+    */
+  private def renameAndRepair(s: SparkSession, from: String, to: String): Unit = {
+    s.sql(s"ALTER TABLE `$from` RENAME TO `$to`")
+    s.sql(s"MSCK REPAIR TABLE `$to`")
+  }
+
+  /** Compact — and optionally RE-bucket — the maintainer's accumulated
+    * state: every committed `batch=<id>` partition folds into the
+    * `batch=-1` base partition, one file per bucket. Each micro-batch's
+    * dynamic overwrite lands `buckets` files in its own partition, so a
+    * crawl-per-day deployment accumulates days × buckets files per table,
+    * taxing the probe's listing and scan exactly like repeated
+    * [[graft.operators.LshIndex.append]]s tax the index — this is that
+    * compactor's analog for the streaming curation state. Passing a
+    * larger `buckets` is the re-bucket dial [[CorpusStateBuckets]]
+    * documents: when the corpus outgrows the bucket count chosen at
+    * creation (per-bucket scans too big, or the pinned join parallelism
+    * too coarse — the q87b 10 000× OOM shape), one rewrite re-spreads
+    * the state and every later probe plans against the new count, still
+    * exchange-free. Call BETWEEN stream passes (after the checkpoint
+    * committed the batches being folded): a committed batch can never
+    * replay, so folding its partition into the base is final; the swap
+    * itself is crash-safe (staging table + atomic catalog rename,
+    * recovered by [[recoverCorpusCompacting]] on the next call or the
+    * next warm stream pass).
+    */
+  def compactCorpusState(s: SparkSession, d: String,
+                         buckets: Int = CorpusStateBuckets): Unit = {
+    recoverCorpusCompacting(s, d)
+    // Pin bucketed reading on for the rewrite: with no join/agg in the
+    // plan, DisableUnnecessaryBucketedScan would downgrade to a plain
+    // size-split scan and the writer would split every task by bucket
+    // (files × tasks out instead of one per bucket — the LshIndex
+    // compact lesson).
+    val AutoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = s.conf.get(AutoKey)
+    s.conf.set(AutoKey, "false")
+    try CorpusStateKinds.foreach { case (kind, key) =>
+      val t = corpusTbl(kind, d)
+      if (s.catalog.tableExists(t)) {
+        val tmp = t + "_compacting"
+        if (s.catalog.tableExists(tmp)) s.sql(s"DROP TABLE `$tmp`")
+        // a stale staging DIR from a previous JVM (in-memory catalog
+        // forgot the table, warehouse dir survived) would fail the write
+        val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+        val loc = java.nio.file.Paths.get(wh, tmp)
+        if (java.nio.file.Files.exists(loc)) {
+          val walk = java.nio.file.Files.walk(loc)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        s.table(t).drop("batch").withColumn("batch", lit(-1L))
+          .write.partitionBy("batch")
+          .bucketBy(buckets, key).sortBy(key)
+          .format("parquet").saveAsTable(tmp)
+        s.sql(s"DROP TABLE `$t`")
+        renameAndRepair(s, tmp, t)
+      }
+    } finally s.conf.set(AutoKey, prevAuto)
+  }
 
   /** STREAMING form of the q64 training-corpus pipeline — the one
     * mandated composition previously expressed only one-shot: documents
@@ -627,6 +713,9 @@ object StreamOps {
         "fps", "fp")
       w
     })
+    // a warm call trusts the tables: finish any compaction swap that
+    // crashed between its DROP and RENAME before reading them
+    recoverCorpusCompacting(s, d)
     val minAgree = math.max(0, math.ceil((tau - 0.25) * Dedup.MinhashPerms).toInt)
     // static benchmark shingle set — tiny, reused by every batch
     val bench = CorpusOps.shingleHashes(

@@ -83,6 +83,62 @@ class StreamPacingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("corpus-state compaction folds batch partitions losslessly; re-bucket keeps probes exchange-free") {
+    import org.apache.spark.sql.Row
+    StreamOps.trainingCorpusStream(spark, sf).count() // ensure state exists
+    val wh = java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def parquetFiles(kind: String): Int = {
+      val dir = java.nio.file.Paths.get(wh, StreamOps.corpusTbl(kind, sf))
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.filter(p => p.getFileName.toString.endsWith(".parquet")).count().toInt
+      finally walk.close()
+    }
+    def snapshot(kind: String): Set[Seq[Any]] =
+      spark.table(StreamOps.corpusTbl(kind, sf)).drop("batch")
+        .collect().map(_.toSeq).toSet[Seq[Any]]
+    val kinds = StreamOps.CorpusStateKinds.map(_._1)
+    val before = kinds.map(k => k -> snapshot(k)).toMap
+    val filesBefore = kinds.map(k => k -> parquetFiles(k)).toMap
+    // the 4-batch replay left one file set per batch partition
+    assert(spark.table(StreamOps.corpusTbl("bands", sf))
+      .select("batch").distinct().count() > 1)
+    StreamOps.compactCorpusState(spark, sf)
+    kinds.foreach { k =>
+      // lossless: row sets identical, all folded into the base partition
+      assert(snapshot(k) === before(k), k)
+      assert(spark.table(StreamOps.corpusTbl(k, sf))
+        .select("batch").distinct().collect() === Array(Row(-1L)), k)
+      // fewer files: one per (non-empty) bucket instead of per batch
+      assert(parquetFiles(k) < filesBefore(k), k)
+    }
+    // RE-bucket: one rewrite re-spreads the state; probes still plan a
+    // bucketed, exchange-free state side at the NEW count
+    StreamOps.compactCorpusState(spark, sf, buckets = 8)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = spark.read.parquet(sf + "/documents.parquet").limit(50)
+      val bands = graft.operators.Dedup.bandsOf(
+        graft.operators.Dedup.signaturesRowLevel(batch))
+      val st = spark.table(StreamOps.corpusTbl("bands", sf))
+        .filter(col("batch") =!= 999L).drop("batch")
+      val probe = st.as("a").join(bands.as("b"), col("a.bkey") === col("b.bkey"))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+        plan.take(2000))
+      probe.count() // executes against the re-bucketed layout
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert(snapshot("bands") === before("bands"))
+    // a warm stream pass over compacted state lands on the same corpus
+    val batchOut = graft.operators.Pipeline.trainingCorpus(spark, sf)
+      .collect().map(_.toSeq)
+    assert(StreamOps.trainingCorpusStream(spark, sf)
+      .collect().map(_.toSeq) === batchOut)
+    StreamOps.compactCorpusState(spark, sf) // restore the default count
+  }
+
   test("session windows merge identically across micro-batch boundaries") {
     assertSame(StreamOps.sessionWindows(spark, sf),
       paced()(StreamOps.sessionWindows(spark, sf)))
