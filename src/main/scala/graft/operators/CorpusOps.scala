@@ -57,17 +57,20 @@ object CorpusOps {
 
   /** Benchmark decontamination: flag corpus documents sharing any
     * `n`-token shingle with an evaluation set (here the `src0` slice
-    * stands in for the benchmark). The benchmark shingle set is tiny
-    * relative to the corpus → broadcast to the corpus-shingle side, so
-    * the corpus is ONE narrow scan with a map-side semi-join — the only
-    * sane shape when the corpus is 100 TB and the benchmark is MBs.
+    * stands in for the benchmark). A REAL benchmark suite is MBs →
+    * AQE broadcasts it from its measured size and the corpus is ONE
+    * narrow scan with a map-side semi-join. The hint is deliberately
+    * NOT forced (the Pipeline.scala stance): this synthetic bench set
+    * is corpus-derived and grows with SF — a forced broadcast OOM'd the
+    * driver at ~29 M hashes (25 M docs, round 5), where the unhinted
+    * plan degrades to a partitioned semi-join instead of dying.
     */
   def decontaminate(s: SparkSession, d: String, n: Int = 8): DataFrame = {
     val docs = Tables.documents(s, d)
     val bench = shingleHashes(docs.filter(col("source") === "src0"), n)
       .select(col("h")).distinct()
     val corpus = shingleHashes(docs.filter(col("source") =!= "src0"), n)
-    corpus.join(broadcast(bench), "h")
+    corpus.join(bench, "h")
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("h")).as("n_shared"))
       .orderBy("doc_id")
@@ -181,8 +184,11 @@ object CorpusOps {
     * contract as the k-means model). The corpus scan probes the sketch as
     * a foldable codegen predicate, so ~all clean shingles die inside the
     * scan; the exact semi-join that removes Bloom false positives then
-    * runs on the few survivors. Output ≡ [[decontaminate]] exactly —
-    * verified by the same DuckDB oracle.
+    * runs on the few survivors — unhinted, like [[decontaminate]]: a
+    * bench set too big to broadcast exactly is the premise of this
+    * variant, so forcing the verify join to broadcast it would undo the
+    * point. Output ≡ [[decontaminate]] exactly — verified by the same
+    * DuckDB oracle.
     */
   def decontaminateBloom(s: SparkSession, d: String, n: Int = 8,
                          expectedItems: Long = 1L << 20): DataFrame = {
@@ -196,7 +202,7 @@ object CorpusOps {
       .head().getAs[Array[Byte]](0)
     val corpus = shingleHashes(docs.filter(col("source") =!= "src0"), n)
       .filter(graft.plans.GraftFunctions.bloomContains(lit(sketch), col("h")))
-    corpus.join(broadcast(bench), "h")
+    corpus.join(bench, "h")
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("h")).as("n_shared"))
       .orderBy("doc_id")

@@ -524,10 +524,14 @@ object StreamOps {
   private[graft] def corpusTbl(kind: String, d: String): String =
     s"graft_strmcorp_${kind}_${graft.DirKeys.digest(d)}"
 
-  /** The maintainer's probed state tables and their bucket keys. */
+  /** The maintainer's probed state tables and their bucket keys.
+    * `bench` is written ONCE (the benchmark decontamination set pre-exists
+    * the stream) and only read by the per-batch semi-join; it lives on
+    * the same layout so that join, too, plans zero state-side exchange.
+    */
   private[graft] val CorpusStateKinds: Seq[(String, String)] = Seq(
     "bands" -> "bkey", "sigs" -> "doc_id", "shingles" -> "doc_id",
-    "sizes" -> "doc_id", "fps" -> "fp")
+    "sizes" -> "doc_id", "fps" -> "fp", "bench" -> "h")
 
   /** Finish a [[compactCorpusState]] interrupted between its DROP and
     * RENAME (the [[graft.operators.LshIndex]] recover pattern): the
@@ -635,7 +639,9 @@ object StreamOps {
     *     ascending replay makes first-arrival ≡ the batch pipeline's
     *     global keep-min-doc_id.
     *  3. decontamination — batch shingles semi-joined against the static
-    *     broadcast benchmark set (benchmarks pre-exist the stream).
+    *     benchmark set (benchmarks pre-exist the stream), persisted on
+    *     the same bucketed layout so the join is bench-side-exchange-free
+    *     at any benchmark size (AQE broadcasts it where it is small).
     * The final assembly (cluster resolution on the pair-set-sized pair
     * table, anti-joins, per-source packing) is the identical relational
     * tail the one-shot pipeline plans — corpus-scan-free: it reads only
@@ -643,8 +649,9 @@ object StreamOps {
     *
     * The probed state lives on the [[graft.operators.LshIndex]] layout
     * (round-5): `bands` bucketed by `bkey`, `sigs`/`shingles`/`sizes`
-    * bucketed by `doc_id`, `fps` bucketed by `fp` — so the cross-batch
-    * candidate join, the agreement joins, the verification join and the
+    * bucketed by `doc_id`, `fps` bucketed by `fp`, `bench` by `h` — so
+    * the cross-batch candidate join, the agreement joins, the
+    * verification join, the decontamination semi-join and the
     * fp anti-join all plan ZERO exchange on the ACCUMULATED-STATE side
     * (plan-asserted in StreamPacingSpec): per-batch shuffle cost is
     * batch-sized forever, while state-side cost is a bucket-aligned scan.
@@ -711,16 +718,21 @@ object StreamOps {
         "sizes", "doc_id")
       seedTable(s.range(0).select(col("id").cast("string").as("fp")),
         "fps", "fp")
+      // the static benchmark shingle set, written ONCE with its data: a
+      // per-batch `broadcast(bench)` hint OOM'd the driver at 25 M docs
+      // (the benchmark set is corpus-derived here, ~29 M hashes) — the
+      // Pipeline.scala lesson. On this layout the per-batch semi-join
+      // plans zero bench-side exchange, and AQE still broadcasts it at
+      // SFs where it measures small.
+      seedTable(CorpusOps.shingleHashes(
+          graft.Tables.documents(s, d).filter(col("source") === "src0"), 8)
+        .select(col("h")).distinct(), "bench", "h")
       w
     })
     // a warm call trusts the tables: finish any compaction swap that
     // crashed between its DROP and RENAME before reading them
     recoverCorpusCompacting(s, d)
     val minAgree = math.max(0, math.ceil((tau - 0.25) * Dedup.MinhashPerms).toInt)
-    // static benchmark shingle set — tiny, reused by every batch
-    val bench = CorpusOps.shingleHashes(
-        graft.Tables.documents(s, d).filter(col("source") === "src0"), 8)
-      .select(col("h")).distinct().truncated
     val dir = pacedDir(s, s"$d/documents.parquet", nFiles)
     val schema = s.read.parquet(dir).schema
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -841,10 +853,12 @@ object StreamOps {
           writeTbl(admitted.select(col("fp")), "fps", "fp")
           writeState(admitted.select(col("doc_id"), col("source"),
             col("n_tokens")), "gated")
-          // -- 3. decontamination flags for this batch --
+          // -- 3. decontamination flags for this batch: semi-join against
+          // the persisted bucketed benchmark set (zero bench-side
+          // exchange; AQE broadcasts it where it measures small) --
           writeState(CorpusOps.shingleHashes(
               batch.filter(col("source") =!= "src0"), 8)
-            .join(broadcast(bench), "h")
+            .join(readTbl("bench"), "h")
             .select(col("doc_id")).distinct(), "contam")
         }
         .trigger(Trigger.AvailableNow())

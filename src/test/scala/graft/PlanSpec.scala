@@ -28,8 +28,11 @@ class PlanSpec extends AnyFunSuite {
     // open-vocab crawl's distinct-token table is tens of GB, no hint
     assert(broadcastHints(TextAnalysis.tfidf(spark, sf)) === 0)
     // trainingCorpus embeds decontamination, whose BENCHMARK shingle set
-    // is the one provably-bounded side allowed to keep its hint
-    assert(broadcastHints(Pipeline.trainingCorpus(spark, sf)) === 1)
+    // kept its hint through round 4 as "provably bounded" — round 5
+    // measured this corpus-DERIVED stand-in at ~29M hashes OOMing the
+    // broadcast build (25M docs), so it is de-hinted like every other
+    // corpus-derived side; AQE still broadcasts it at test SF (below)
+    assert(broadcastHints(Pipeline.trainingCorpus(spark, sf)) === 0)
     // q04's lineitem ⋈ orders leg is fact-to-fact: only the dim subtree
     // (customer ⋈ nation ⋈ region) may be hinted, never orders
     val q04Hints = Relational.multiJoin(spark, sf).queryExecution.analyzed.collect {

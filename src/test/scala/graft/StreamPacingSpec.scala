@@ -80,6 +80,17 @@ class StreamPacingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(plan2.contains("Bucketed: true"), plan2.take(2000))
       assert("Exchange hashpartitioning".r.findAllIn(plan2).length === 1,
         plan2.take(2000))
+      // the decontamination semi-join: the persisted benchmark set reads
+      // pre-bucketed by h — only the batch shingles shuffle (a forced
+      // broadcast(bench) died at 25M docs; this shape never does)
+      val bench = spark.table(StreamOps.corpusTbl("bench", sf))
+        .filter(col("batch") =!= 999L).drop("batch")
+      val plan3 = graft.operators.CorpusOps.shingleHashes(batch, 8)
+        .join(bench, "h")
+        .queryExecution.executedPlan.toString
+      assert(plan3.contains("Bucketed: true"), plan3.take(2000))
+      assert("Exchange hashpartitioning".r.findAllIn(plan3).length === 1,
+        plan3.take(2000))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
@@ -110,7 +121,9 @@ class StreamPacingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.table(StreamOps.corpusTbl(k, sf))
         .select("batch").distinct().collect() === Array(Row(-1L)), k)
       // fewer files: one per (non-empty) bucket instead of per batch
-      assert(parquetFiles(k) < filesBefore(k), k)
+      // (bench is written once, so compaction may already be a no-op)
+      if (k == "bench") assert(parquetFiles(k) <= filesBefore(k), k)
+      else assert(parquetFiles(k) < filesBefore(k), k)
     }
     // RE-bucket: one rewrite re-spreads the state; probes still plan a
     // bucketed, exchange-free state side at the NEW count
