@@ -217,7 +217,15 @@ object SparkEntry {
     // fuzzy ER in linear-output cluster form (dense-duplicate scale path)
     "q103_fuzzy_clusters"    -> ((s, d) => TextAnalysis.fuzzyClusters(s, d)),
     // PERCEPTUAL multimodal near-dup: batched decode → features → LSH+cosine
-    "q104_perceptual_neardup" -> ((s, d) => Multimodal.perceptualNearDup(s, d))
+    "q104_perceptual_neardup" -> ((s, d) => Multimodal.perceptualNearDup(s, d)),
+    // token-budget selection via the distributed prefix-sum utility
+    "q109_token_budget"      -> ((s, d) => CorpusOps.tokenBudget(s, d)),
+    // frequency-threshold boilerplate removal (drop EVERY occurrence)
+    "q110_boilerplate_strip" -> ((s, d) => Dedup.boilerplateStrip(s, d)),
+    // per-source quantile calibration on the value-histogram rewrite
+    "q111_source_calibration" -> ((s, d) => CorpusOps.sourceCalibration(s, d)),
+    // token-distribution Shannon entropy quality signal
+    "q112_token_entropy"     -> ((s, d) => TextAnalysis.tokenEntropy(s, d))
   )
 
   /** The MERGE-apply oracle, shared by q87 (batch full-outer apply) and
@@ -1386,7 +1394,62 @@ object SparkEntry {
         |FROM cum GROUP BY source ORDER BY source""".stripMargin,
     // the full perceptual chain mirrored: stub decode (md5-byte binning),
     // the SAME ±1 hyperplane literals, within-bucket cosine
-    "q104_perceptual_neardup" -> Multimodal.perceptualOracleSql()
+    "q104_perceptual_neardup" -> Multimodal.perceptualOracleSql(),
+    // greedy token-budget prefix: the oracle's single-partition window is
+    // EXACTLY the plan the engine's PrefixSum exists to avoid
+    "q109_token_budget" ->
+      """WITH t AS (SELECT doc_id,
+        |   list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+        |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(floor(len(list_filter(toks,
+        |    x -> list_contains(['the','a','of','and','is','to','in'], x))) * 1000000
+        |    / len(toks)) AS BIGINT) AS score_ppm
+        | FROM t WHERE len(toks) > 0),
+        |cum AS (SELECT doc_id, n_tokens, score_ppm,
+        |  CAST(sum(n_tokens) OVER (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS cum_tokens
+        | FROM sc)
+        |SELECT doc_id, n_tokens, score_ppm, cum_tokens
+        |FROM cum WHERE cum_tokens <= (SELECT floor(max(cum_tokens) / 2) FROM cum)
+        |ORDER BY doc_id""".stripMargin,
+    // q105's paragraphs, frequency-threshold rule: drop EVERY occurrence
+    // of any paragraph seen more than once
+    "q110_boilerplate_strip" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents),
+        |paras AS (SELECT doc_id, st,
+        |    array_to_string(ts[st:st+19], ' ') AS ptext
+        |  FROM toks, LATERAL unnest(generate_series(1, len(ts), 20)) AS u(st)
+        |  WHERE len(ts) > 0),
+        |boiler AS (SELECT ptext FROM paras GROUP BY ptext HAVING count(*) > 1)
+        |SELECT doc_id, string_agg(ptext, ' ' ORDER BY st) AS text,
+        |       count(*) AS n_kept
+        |FROM paras WHERE ptext NOT IN (SELECT ptext FROM boiler)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the naive per-source percent_rank window — the engine computes the
+    // same ranks from the (source, score) histogram without sorting docs
+    "q111_source_calibration" ->
+      """WITH t AS (SELECT doc_id,
+        |   list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+        |sc AS (SELECT t.doc_id, d.source,
+        |  CAST(floor(len(list_filter(toks,
+        |    x -> list_contains(['the','a','of','and','is','to','in'], x))) * 1000000
+        |    / len(toks)) AS BIGINT) AS score_ppm
+        | FROM t JOIN documents d ON t.doc_id = d.doc_id WHERE len(toks) > 0),
+        |pr AS (SELECT doc_id, source, score_ppm,
+        |  round(percent_rank() OVER (PARTITION BY source ORDER BY score_ppm), 4) AS pr
+        | FROM sc)
+        |SELECT doc_id, source, score_ppm, pr
+        |FROM pr WHERE pr >= 0.75 ORDER BY doc_id""".stripMargin,
+    // token-distribution Shannon entropy, ln-based on both sides
+    "q112_token_entropy" ->
+      """WITH tok AS (SELECT doc_id,
+        |   unnest(list_filter(string_split(text,' '), x -> x <> '')) AS t FROM documents),
+        |cnt AS (SELECT doc_id, t, count(*) AS n FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |        sum(n * ln(n)) AS s FROM cnt GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |       round((ln(n_tokens) - s / n_tokens) / ln(2), 4) AS entropy_bits
+        |FROM agg ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB mirror of [[graft.operators.Dedup.simhashPairsMirrorable]]:

@@ -586,4 +586,93 @@ object CorpusOps {
         max(col("total")).as("n_docs"))
       .orderBy("source")
   }
+
+  /** Per-doc fluency proxy used by the selection operators below:
+    * integer-ppm stopword rate (floor(n_stop·10⁶ / n_tokens)) — exact
+    * on both engines (the repo's integer-ppm convention; both sides
+    * compute the identical double division then floor).
+    */
+  private[graft] def stopwordPpm(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+    tok
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("t").isin(TextAnalysis.stopwords: _*), 1)).as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("n_stop") * lit(1000000L) / col("n_tokens")).as("score_ppm"))
+  }
+
+  /** Token-budget corpus selection: rank documents by a quality proxy
+    * (stopword ppm desc — more function words ≈ more natural prose; tie
+    * doc_id) and keep the prefix whose CUMULATIVE token count fits the
+    * budget — here half the corpus token mass, the "train on your best
+    * half" cut. The greedy-by-score prefix is how curation pipelines
+    * spend a fixed token budget.
+    *
+    * Scale shape: the running total comes from [[PrefixSum]] — a
+    * range-partitioned parallel scan — NOT from `sum over (order by …)`,
+    * whose empty-partitionBy window would drag the full corpus through
+    * one task. The budget itself is a 1-row aggregate (max of the
+    * running total = total mass) cross-joined into the plan (the q44
+    * convention): one DAG, no driver round-trip.
+    */
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val scored = stopwordPpm(s, d)
+    val cum = PrefixSum.withRunningTotal(
+      scored,
+      Seq(col("score_ppm").desc, col("doc_id").asc),
+      col("n_tokens"),
+      "cum_tokens")
+    val budget = cum.agg(floor(max(col("cum_tokens")) / 2).as("budget"))
+    cum
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select("doc_id", "n_tokens", "score_ppm", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** Per-source score calibration: a scorer's raw distribution shifts
+    * across sources (web text scores lower than books on any fluency
+    * proxy), so selecting a GLOBAL top quantile starves whole sources.
+    * The standard fix is quantile normalization — replace each doc's raw
+    * score with its within-source percentile, then select the top
+    * `keep` fraction OF EACH SOURCE on the calibrated scale.
+    *
+    * Scale shape: exact percent_rank WITHOUT sorting the corpus — the
+    * q91 histogram rewrite applied to a window rank. percent_rank is a
+    * pure function of (#strictly-below, n−1), both computable from the
+    * (source, score) value histogram: one partial-agg'd shuffle of
+    * |sources|×|distinct ppm scores| rows, a window over that
+    * corpus-size-independent histogram, and a join back that AQE
+    * broadcasts from its measured size. The DuckDB oracle runs the naive
+    * `percent_rank() over (partition by source order by score)` — same
+    * answer, different algorithm, which is the point.
+    */
+  def sourceCalibration(s: SparkSession, d: String, keep: Double = 0.25): DataFrame = {
+    val scored = stopwordPpm(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+    val hist = scored
+      .groupBy(col("source"), col("score_ppm"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("score_ppm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      // docs strictly below this score = cum − cnt; percent_rank ties all
+      // share the group's min rank, exactly this
+      .select(col("source"), col("score_ppm"),
+        when(col("total") === 1, lit(0.0))
+          .otherwise(
+            round((col("cum") - col("cnt")).cast("double") / (col("total") - 1), 4))
+          .as("pr"))
+    scored
+      .join(ranked, Seq("source", "score_ppm"))
+      .filter(col("pr") >= round(lit(1.0) - lit(keep), 4))
+      .select("doc_id", "source", "score_ppm", "pr")
+      .orderBy("doc_id")
+  }
 }

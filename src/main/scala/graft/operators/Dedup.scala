@@ -141,6 +141,51 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate strip — the frequency-threshold COMPLEMENT of
+    * [[paragraphDedup]]: q105 keeps a repeated paragraph's FIRST corpus
+    * occurrence; big-crawl boilerplate passes (license blocks, cookie
+    * banners, navigation) instead drop EVERY occurrence of any paragraph
+    * seen more than `maxOcc` times — repeated spans are memorization
+    * hazards wherever they appear, including the first copy. Same fixed
+    * `para`-token paragraphs as q105; documents reassembled from
+    * survivors in order (a document that was ALL boilerplate vanishes).
+    *
+    * Scale shape: the drop set (paragraphs over the threshold) is the
+    * HEAD of the paragraph frequency distribution — small by definition
+    * — so the plan is: partial-agg'd frequency count, `HAVING > maxOcc`,
+    * then a LEFT ANTI join of the paragraph stream against it. No hint
+    * (the q59 lesson: corpus-derived sets grow with SF and a forced
+    * broadcast is a driver OOM waiting for a bigger crawl); AQE
+    * broadcasts the anti side where it measures small, and the
+    * degradation path is a partitioned anti join, not a dead driver.
+    * Unlike q105 there is NO keep-first argmin and no window — dropped
+    * paragraphs never reach the reassembly shuffle.
+    */
+  def boilerplateStrip(s: SparkSession, d: String, para: Int = 20, maxOcc: Int = 1): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val paras = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), size(col("ts")), lit(para))).as("st"))
+      .select(col("doc_id"), col("st"),
+        array_join(slice(col("ts"), col("st"), lit(para)), " ").as("ptext"))
+    val boiler = paras
+      .groupBy(col("ptext"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > maxOcc)
+      .select(col("ptext"))
+    paras
+      .join(boiler, Seq("ptext"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("st"), col("ptext"))).as("ps"))
+      .select(col("doc_id"),
+        array_join(transform(array_sort(col("ps")), p => p.getField("ptext")), " ")
+          .as("text"),
+        size(col("ps")).cast("long").as("n_kept"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup resolution, keep-LONGEST variant: q56 keeps each cluster's
     * smallest doc_id; real corpus curation usually keeps the most
     * complete copy (truncated mirrors and excerpt pages are the dups).

@@ -83,6 +83,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Shannon entropy of each document's token distribution — the
+    * information-density quality signal q41's ratio features can't see:
+    * keyboard-mash and template spam score near-zero bits/token, natural
+    * prose sits in a narrow band, so curation pipelines gate on it
+    * alongside the repetition filter (q49 catches ADJACENT repeats;
+    * entropy catches globally skewed vocabularies).
+    *
+    * H = log(N) − Σ n·log(n) / N over per-doc token counts n (nats·log2e
+    * = bits; both sides compute ln/ln 2 with the same IEEE doubles, then
+    * round 4dp). Two partial-agg'd hash shuffles — (doc, token) then doc
+    * — no window, no join; per-doc state never exceeds its vocabulary.
+    */
+  def tokenEntropy(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+    val ln2 = log(lit(2.0))
+    tok
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        sum(col("n").cast("double") * log(col("n").cast("double"))).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(
+          (log(col("n_tokens").cast("double")) - col("s") / col("n_tokens")) / ln2,
+          4).as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish regex token count
     * ([a-z0-9]+ runs and single non-alnum marks), plus raw chars.
     */

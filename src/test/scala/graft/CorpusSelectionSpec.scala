@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators.{CorpusOps, Dedup, PrefixSum, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the corpus-selection family: the distributed prefix-sum
+  * utility, token-budget selection (q109), boilerplate strip (q110),
+  * per-source score calibration (q111), token entropy (q112).
+  */
+class CorpusSelectionSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("prefixSum: equals the single-partition window on every row, many partitions") {
+    val df = Tables.documents(spark, SharedSpark.sf)
+      .select(col("doc_id"), col("n_chars"))
+    val got = PrefixSum.withRunningTotal(
+      df, Seq(col("doc_id").asc), col("n_chars"), "cum", partitions = 7)
+    // the utility must NOT collapse to one partition — that is the whole point
+    assert(got.rdd.getNumPartitions == 7)
+    val naive = df.withColumn("cum",
+      sum(col("n_chars")).over(
+        Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val g = got.select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    val e = naive.select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    assert(g == e)
+  }
+
+  test("prefixSum: descending order key and re-run determinism") {
+    val df = Tables.documents(spark, SharedSpark.sf)
+      .select(col("doc_id"), col("n_chars"))
+    def run() = PrefixSum.withRunningTotal(
+      df, Seq(col("n_chars").desc, col("doc_id").asc), col("n_chars"), "cum",
+      partitions = 5).select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    val a = run()
+    val b = run()
+    assert(a == b) // boundary sampling may differ; cumulative values may not
+    val total = df.agg(sum("n_chars")).as[Long].head()
+    assert(a.values.max == total)
+  }
+
+  test("q109 tokenBudget: kept set is the exact greedy prefix of half the mass") {
+    val out = CorpusOps.tokenBudget(spark, SharedSpark.sf)
+      .select("doc_id", "n_tokens", "score_ppm", "cum_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // reconstruct the greedy order locally and check prefix-exactness
+    val all = CorpusOps.stopwordPpm(spark, SharedSpark.sf)
+      .as[(Long, Long, Long)].collect()
+      .sortBy { case (id, _, ppm) => (-ppm, id) }
+    val total = all.map(_._2).sum
+    val budget = total / 2
+    var cum = 0L
+    val expect = all.takeWhile { case (_, n, _) => { cum += n; cum <= budget } }
+    assert(out.map(_._1).sorted.toSeq == expect.map(_._1).sorted.toSeq)
+    assert(out.map(_._4).max <= budget)
+  }
+
+  test("q110 boilerplateStrip: no survivor repeats, all-boilerplate docs vanish") {
+    val sf = SharedSpark.sf
+    val out = Dedup.boilerplateStrip(spark, sf)
+    // survivors: re-window the reassembled texts — every 20-token
+    // paragraph in the OUTPUT must be corpus-unique in the INPUT
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    def paras(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), toks.as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), explode(sequence(lit(1), size(col("ts")), lit(20))).as("st"),
+        col("ts"))
+      .select(col("doc_id"), array_join(slice(col("ts"), col("st"), lit(20)), " ").as("p"))
+    val inputFreq = paras(Tables.documents(spark, sf))
+      .groupBy("p").count().as[(String, Long)].collect().toMap
+    val survivors = paras(out.select(col("doc_id"), col("text"))).as[(Long, String)].collect()
+    assert(survivors.nonEmpty)
+    assert(survivors.forall { case (_, p) => inputFreq(p) == 1L })
+    // kept-paragraph accounting: n_kept sums to the unique-paragraph count
+    val nUnique = inputFreq.valuesIterator.count(_ == 1L)
+    val keptSum = out.agg(sum("n_kept")).as[Long].head()
+    assert(keptSum == nUnique)
+  }
+
+  test("q111 sourceCalibration: histogram rewrite equals the naive percent_rank window") {
+    val out = CorpusOps.sourceCalibration(spark, SharedSpark.sf)
+      .as[(Long, String, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._4 >= 0.75))
+    val naive = CorpusOps.stopwordPpm(spark, SharedSpark.sf)
+      .join(Tables.documents(spark, SharedSpark.sf).select("doc_id", "source"), "doc_id")
+      .withColumn("pr", round(percent_rank().over(
+        Window.partitionBy(col("source")).orderBy(col("score_ppm"))), 4))
+      .filter(col("pr") >= 0.75)
+      .select("doc_id", "source", "score_ppm", "pr")
+      .as[(Long, String, Long, Double)].collect()
+    assert(out.sortBy(_._1).toSeq == naive.sortBy(_._1).toSeq)
+  }
+
+  test("q112 tokenEntropy: bounds and closed-form extremes") {
+    val out = TextAnalysis.tokenEntropy(spark, SharedSpark.sf)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // 0 <= H <= log2(n_tokens), within rounding slack
+    assert(out.forall { case (_, n, h) =>
+      h >= -1e-4 && h <= math.log(n.toDouble) / math.log(2.0) + 1e-4
+    })
+    // closed forms on a crafted corpus written through the same reader path
+    val dir = java.nio.file.Files.createTempDirectory("entropy").toString
+    Seq(
+      (1L, "a a a a", "en", "src0", 7L),          // H = 0
+      (2L, "a b c d", "en", "src0", 7L),          // H = log2(4) = 2
+      (3L, "a a b b c c d d", "en", "src0", 15L)  // uniform over 4 → 2
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = TextAnalysis.tokenEntropy(spark, dir)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(m(1L) == 0.0)
+    assert(m(2L) == 2.0)
+    assert(m(3L) == 2.0)
+  }
+}
