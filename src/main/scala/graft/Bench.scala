@@ -16,6 +16,29 @@ object Bench {
       if (rs.nonEmpty) Some((rs.max + 1).toString) else None
     }
 
+  /** Times `reps` executions of `body`. A rep that THROWS records -1.0
+    * (never its time-to-failure: a plausible-looking elapsed time for a
+    * query that OOM'd mid-flight is how a broken run gets trusted) and
+    * names the failure on stderr. Factored out of main for unit testing.
+    */
+  private[graft] def timedReps(name: String, reps: Int)(body: () => Unit): Seq[Double] =
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { body(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"bench: $name FAILED: ${e.getClass.getName}: " +
+            String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(200))
+          false
+        }
+      val t = (System.nanoTime() - t0) / 1e9
+      // Between reps, force the ContextCleaner to release the previous
+      // rep's shuffle files — otherwise they linger until an arbitrary
+      // GC and their disk/tmpfs footprint pollutes later reps.
+      if (reps > 1) System.gc()
+      if (ok) t else -1.0
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -93,23 +116,16 @@ object Bench {
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption).getOrElse(1))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val t = (System.nanoTime() - t0) / 1e9
-        // Between reps, force the ContextCleaner to release the previous
-        // rep's shuffle files — otherwise they linger until an arbitrary
-        // GC and their disk/tmpfs footprint pollutes later reps.
-        if (reps > 1) System.gc()
-        t
-      }
-      name -> times
+      name -> timedReps(name, reps)(() => fn(spark, sfDir).count())
     }
     val qs = results.map { case (k, ts) =>
       val v = if (reps > 1) ts.mkString("[", ",", "]") else ts.head.toString
       s"\"" + k + "\":" + v
     }.mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
+    // Failed reps carry -1.0 — keep them OUT of the total (a negative
+    // contribution would silently shrink it) and let the sentinel stand
+    // in the per-query arrays where a reader can see it.
+    val total = results.flatMap(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)

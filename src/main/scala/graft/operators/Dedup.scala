@@ -150,16 +150,25 @@ object Dedup {
     * `para`-token paragraphs as q105; documents reassembled from
     * survivors in order (a document that was ALL boilerplate vanishes).
     *
-    * Scale shape: the drop set (paragraphs over the threshold) is the
-    * HEAD of the paragraph frequency distribution — small by definition
-    * — so the plan is: partial-agg'd frequency count, `HAVING > maxOcc`,
-    * then a LEFT ANTI join of the paragraph stream against it. No hint
-    * (the q59 lesson: corpus-derived sets grow with SF and a forced
-    * broadcast is a driver OOM waiting for a bigger crawl); AQE
-    * broadcasts the anti side where it measures small, and the
-    * degradation path is a partitioned anti join, not a dead driver.
-    * Unlike q105 there is NO keep-first argmin and no window — dropped
-    * paragraphs never reach the reassembly shuffle.
+    * Scale shape, default `maxOcc = 1` (the standard "drop anything
+    * repeated" rule): a surviving paragraph has corpus count EXACTLY 1,
+    * so its one `(doc_id, st)` position IS `min(struct(doc_id, st))` —
+    * the whole operator collapses to q105's aggregate-only plan with
+    * `count = 1` where q105 has keep-first: ONE tokenize pass, ZERO
+    * joins, two partial-agg'd shuffles, and the first exchange carries
+    * distinct paragraphs only (boilerplate collapses map-side — the
+    * first cut of this operator anti-joined every paragraph OCCURRENCE
+    * against the frequency head and pushed the full corpus text through
+    * that shuffle twice: 459 s at 50 M docs, 15.9× per 10× data, the
+    * round's one above-linear number; this form is join-free).
+    *
+    * `maxOcc > 1` keeps the frequency-threshold anti join (all ≤ maxOcc
+    * occurrences survive, so per-key agg state would no longer be one
+    * struct) — keyed on md5(paragraph), the q50 exact-identity
+    * convention: the drop-set build side carries 16-byte digests, not
+    * text, so AQE can broadcast it from measured size far longer; no
+    * hint either way (the q59 lesson), degradation = partitioned anti
+    * join, not a dead driver.
     */
   def boilerplateStrip(s: SparkSession, d: String, para: Int = 20, maxOcc: Int = 1): DataFrame = {
     val toks = graft.functions.TextFunctions.tokens(col("text"))
@@ -170,13 +179,26 @@ object Dedup {
         explode(sequence(lit(1), size(col("ts")), lit(para))).as("st"))
       .select(col("doc_id"), col("st"),
         array_join(slice(col("ts"), col("st"), lit(para)), " ").as("ptext"))
-    val boiler = paras
-      .groupBy(col("ptext"))
-      .agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") > maxOcc)
-      .select(col("ptext"))
-    paras
-      .join(boiler, Seq("ptext"), "left_anti")
+    val survivors =
+      if (maxOcc == 1)
+        paras
+          .groupBy(col("ptext"))
+          .agg(count(lit(1)).as("n_occ"),
+            min(struct(col("doc_id"), col("st"))).as("f"))
+          .filter(col("n_occ") === 1)
+          .select(col("f.doc_id").as("doc_id"), col("f.st").as("st"), col("ptext"))
+      else {
+        val boiler = paras
+          .groupBy(md5(col("ptext")).as("pkey"))
+          .agg(count(lit(1)).as("n_occ"))
+          .filter(col("n_occ") > maxOcc)
+          .select(col("pkey"))
+        paras
+          .withColumn("pkey", md5(col("ptext")))
+          .join(boiler, Seq("pkey"), "left_anti")
+          .select(col("doc_id"), col("st"), col("ptext"))
+      }
+    survivors
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("st"), col("ptext"))).as("ps"))
       .select(col("doc_id"),

@@ -28,4 +28,19 @@ class BenchRoundSpec extends AnyFunSuite {
     assert(Bench.inferRound(None, Nil) === None)
     assert(Bench.inferRound(Some(""), Nil) === None)
   }
+
+  test("timedReps: a throwing rep records -1.0, never its time-to-failure") {
+    var calls = 0
+    val ts = Bench.timedReps("qx", 3) { () =>
+      calls += 1
+      if (calls == 2) throw new RuntimeException("boom")
+    }
+    assert(ts.length === 3)
+    assert(ts(0) >= 0 && ts(2) >= 0)
+    assert(ts(1) === -1.0)
+  }
+
+  test("timedReps: all-green reps are all non-negative") {
+    assert(Bench.timedReps("qy", 2)(() => ()).forall(_ >= 0))
+  }
 }

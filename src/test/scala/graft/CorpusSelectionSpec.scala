@@ -82,6 +82,29 @@ class CorpusSelectionSpec extends AnyFunSuite {
     assert(keptSum == nUnique)
   }
 
+  test("q110 maxOcc=2 (anti-join path): survivors occur ≤2 times, superset of maxOcc=1") {
+    val sf = SharedSpark.sf
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    def paras(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), toks.as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), explode(sequence(lit(1), size(col("ts")), lit(20))).as("st"),
+        col("ts"))
+      .select(col("doc_id"), array_join(slice(col("ts"), col("st"), lit(20)), " ").as("p"))
+    val inputFreq = paras(Tables.documents(spark, sf))
+      .groupBy("p").count().as[(String, Long)].collect().toMap
+    val k2 = paras(Dedup.boilerplateStrip(spark, sf, maxOcc = 2)
+      .select(col("doc_id"), col("text"))).as[(Long, String)].collect()
+    assert(k2.nonEmpty)
+    assert(k2.forall { case (_, p) => inputFreq(p) <= 2L })
+    // every occurrence of a ≤2-frequency paragraph survives
+    assert(k2.length == inputFreq.collect { case (_, n) if n <= 2 => n }.sum)
+    // the maxOcc=1 aggregate path's survivors are exactly the freq-1 subset
+    val k1 = paras(Dedup.boilerplateStrip(spark, sf)
+      .select(col("doc_id"), col("text"))).as[(Long, String)].collect()
+    assert(k1.map(_._2).toSet.subsetOf(k2.map(_._2).toSet))
+  }
+
   test("q111 sourceCalibration: histogram rewrite equals the naive percent_rank window") {
     val out = CorpusOps.sourceCalibration(spark, SharedSpark.sf)
       .as[(Long, String, Long, Double)].collect()
