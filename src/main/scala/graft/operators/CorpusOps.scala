@@ -675,4 +675,64 @@ object CorpusOps {
       .select("doc_id", "source", "score_ppm", "pr")
       .orderBy("doc_id")
   }
+
+  /** DSIR-style importance-weighted data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every POOL document by how much more likely its hashed-bigram
+    * features are under the TARGET domain's distribution than under the
+    * pool's own — log w(doc) = Σ_b n_doc(b)·(ln p̂(b) − ln q̂(b)) — and
+    * keep the top-N. The target here is one curated source
+    * (`targetSource`); the pool is everything else.
+    *
+    * Features are bigrams hashed into `nBuckets` buckets (md5-prefix mod,
+    * the engine's cross-engine hash convention), so BOTH feature
+    * distributions are `nBuckets`-row tables regardless of corpus size —
+    * add-1 smoothed. Per-bucket log-ratios are quantized to ppm LONGs
+    * (round(·1e6)), so each document's weight is an EXACT integer sum:
+    * no cross-engine float-summation-order risk (the q81/q89 integer-ppm
+    * convention); ln is evaluated once per bucket on identical double
+    * inputs in both engines.
+    *
+    * Scale shape: bigram hashing is row-local; the two distribution
+    * aggregates and the per-(doc,bucket) count are partial-agg'd hash
+    * shuffles; the score join's build side is ≤ nBuckets rows (unhinted
+    * — AQE broadcasts it from measured size); the final per-doc sum is
+    * one more partial-agg'd shuffle. Nothing grows with vocabulary.
+    */
+  def dsirSelect(s: SparkSession, d: String, targetSource: String = "src0",
+                 nBuckets: Int = 4096, topN: Int = 50): DataFrame = {
+    val ts = TextFunctions.tokens(col("text"))
+    val occ = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), ts.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(1, size(ts)-1), i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))"))
+          .as("bg"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("bg")), 1, 6), 16, 10).cast("long") % nBuckets)
+          .as("b"))
+    val pool = occ.filter(col("source") =!= targetSource)
+    val tCounts = occ.filter(col("source") === targetSource)
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val rCounts = pool.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val tTot = tCounts.agg(sum(col("tc")).cast("double").as("t_tot"))
+    val rTot = rCounts.agg(sum(col("rc")).cast("double").as("r_tot"))
+    // every pool bucket gets a score; target-only buckets never appear
+    // in a pool document, so rCounts is the complete key set
+    val scores = rCounts
+      .join(tCounts, Seq("b"), "left")
+      .crossJoin(tTot).crossJoin(rTot)
+      .select(col("b"),
+        round((log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("t_tot") + nBuckets)) -
+          log((col("rc") + lit(1.0)) / (col("r_tot") + nBuckets))) * 1e6)
+          .cast("long").as("lr_ppm"))
+    pool
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      .join(scores, "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n") * col("lr_ppm")).as("w_ppm"))
+      .orderBy(col("w_ppm").desc, col("doc_id"))
+      .limit(topN)
+  }
 }

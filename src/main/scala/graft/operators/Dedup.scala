@@ -441,6 +441,31 @@ object Dedup {
     minhashLshPairs(explodedShingles(s, d), tau,
       Some(signaturesRowLevel(Tables.documents(s, d))))
 
+  /** Cross-source duplication matrix: for every unordered source pair,
+    * the number of exact-verified near-dup pairs (jaccard ≥ τ) with one
+    * side in each — the diagnostic behind corpus mixture design (which
+    * crawls/dumps copy from which, where deduplication budget goes, and
+    * which "independent" sources are actually mirrors). Rides on q51's
+    * verified LSH machinery unchanged; pair volume is the near-dup count
+    * (tiny relative to the corpus), so the two source lookups join a
+    * small pair set against the 2-column (doc_id, source) projection of
+    * the corpus — AQE broadcasts the pair side from measured size (no
+    * hint, q59 lesson) and the corpus side is a column-pruned scan,
+    * never a text read.
+    */
+  def sourceOverlap(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
+    val pairs = minhashLsh(s, d, tau)
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** The 100 TB fast path: near-dup pairs scored by the minhash ESTIMATE
     * alone (matching-minhash fraction, σ ≤ 0.063) — no shingle-level
     * verification join at all, so per-pair cost is 64 long equalities on

@@ -1,0 +1,145 @@
+package graft
+
+import graft.operators.{CorpusOps, Dedup, Retrieval}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the retrieval/selection family: BM25 (q113), the persisted
+  * inverted index probe (q113b), DSIR importance selection (q114) and
+  * the cross-source near-dup matrix (q115).
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+  private val sf = SharedSpark.sf
+
+  test("q113/q113b: index probe returns the identical BM25 table") {
+    val brute = Retrieval.bm25(spark, sf).as[(Long, Double)].collect().toSeq
+    val probed = Retrieval.bm25Indexed(spark, sf).as[(Long, Double)].collect().toSeq
+    assert(brute.nonEmpty)
+    assert(brute == probed) // same rows, same order: layout, not semantics
+  }
+
+  test("q113b: the postings scan is bucket-pruned to <= |terms| buckets") {
+    Retrieval.buildIndex(spark, sf)
+    val plan = Retrieval.bm25Indexed(spark, sf)
+      .queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in plan:\n$plan")
+    assert(m.get.group(1).toInt <= Retrieval.DefaultTerms.size)
+    assert(m.get.group(2).toInt == Retrieval.Buckets)
+  }
+
+  test("q113: scores decrease down the ranking and respect the doc_id tiebreak") {
+    val rows = Retrieval.bm25(spark, sf).as[(Long, Double)].collect()
+    assert(rows.length == 10)
+    rows.sliding(2).foreach { case Array((ida, sa), (idb, sb)) =>
+      assert(sa > sb || (sa == sb && ida < idb))
+    }
+    assert(rows.forall(_._2 > 0.0)) // Lucene idf is always positive
+  }
+
+  test("q114 dsirSelect: pool-only output, exact integer weights, deterministic") {
+    val sel = CorpusOps.dsirSelect(spark, sf)
+    val rows = sel.as[(Long, Long)].collect()
+    assert(rows.length == 50)
+    // selection pool excludes the target source by definition
+    val srcs = sel.join(Tables.documents(spark, sf), "doc_id")
+      .select("source").distinct().as[String].collect()
+    assert(!srcs.contains("src0"))
+    // integer-ppm weights are exactly reproducible across runs
+    val again = CorpusOps.dsirSelect(spark, sf).as[(Long, Long)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("q114 dsirSelect: a target-heavier pool doc outranks a target-lighter one") {
+    // The top-ranked doc's bigram buckets must look more src0-like than
+    // the bottom-ranked one's under the same model — sanity of sign.
+    val rows = CorpusOps.dsirSelect(spark, sf, topN = 1000)
+      .as[(Long, Long)].collect()
+    assert(rows.head._2 > rows.last._2)
+  }
+
+  test("q115 sourceOverlap: counts partition the verified pair set, unordered keys") {
+    val m = Dedup.sourceOverlap(spark, sf).as[(String, String, Long)].collect()
+    assert(m.nonEmpty)
+    m.foreach { case (a, b, n) => assert(a <= b); assert(n > 0) }
+    assert(m.map(_._3).sum == Dedup.minhashLsh(spark, sf).count())
+  }
+
+  // ---- maintained-index lifecycle (append / retry / compact) ----
+
+  private def stageDir(docs: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_invidx_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def corpus100 =
+    Tables.documents(spark, sf).select("doc_id", "text").filter(col("doc_id") < 100)
+
+  private def batch(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+    ids.map(i => (i, s"hash merge hash window doc$i filler merge")).toDF("doc_id", "text")
+
+  private def probeRows(d: String) =
+    Retrieval.bm25Indexed(spark, d).as[(Long, Double)].collect().toSeq
+
+  test("append: probe reflects the folded batch with updated df/N/avgdl") {
+    val d = stageDir(corpus100)
+    Retrieval.buildIndex(spark, d)
+    val b1 = batch(9000L to 9004L)
+    Retrieval.append(spark, b1, d)
+    // reference: brute BM25 over a dir holding corpus ∪ batch
+    val ref = Retrieval.bm25(spark, stageDir(corpus100.union(b1)))
+      .as[(Long, Double)].collect().toSeq
+    assert(probeRows(d) == ref)
+  }
+
+  test("append: re-appending a committed batch is a no-op (idempotent)") {
+    val d = stageDir(corpus100)
+    val b1 = batch(9100L to 9104L)
+    Retrieval.append(spark, b1, d)
+    val r1 = probeRows(d)
+    Retrieval.append(spark, b1, d)
+    assert(probeRows(d) == r1)
+  }
+
+  test("append: a crashed segment (no marker) is retried, not skipped, and not double-counted") {
+    val d = stageDir(corpus100)
+    Retrieval.buildIndex(spark, d)
+    val b1 = batch(9200L to 9204L)
+    // simulate the crash window: data rows landed, marker did not
+    Retrieval.writeSegment(spark, b1, d, "append", marker = false)
+    // the retry must re-append (docs are uncommitted) …
+    Retrieval.append(spark, b1, d)
+    // … and the probe must fold the duplicate rows away
+    val ref = Retrieval.bm25(spark, stageDir(corpus100.union(b1)))
+      .as[(Long, Double)].collect().toSeq
+    assert(probeRows(d) == ref)
+  }
+
+  test("compact: fewer posting files, identical probe, crash-window retry still safe across it") {
+    val d = stageDir(corpus100)
+    Retrieval.buildIndex(spark, d)
+    Retrieval.append(spark, batch(9300L to 9304L), d)
+    Retrieval.append(spark, batch(9310L to 9314L), d)
+    val b3 = batch(9320L to 9324L)
+    Retrieval.writeSegment(spark, b3, d, "append", marker = false) // crash
+    val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def nFiles = {
+      val p = java.nio.file.Paths.get(wh, Retrieval.tbl("postings", d))
+      val walk = java.nio.file.Files.walk(p)
+      try walk.filter(q => q.getFileName.toString.startsWith("part-")).count()
+      finally walk.close()
+    }
+    val before = nFiles
+    Retrieval.compact(spark, d) // sweeps the orphan segment into the base
+    assert(nFiles < before)
+    Retrieval.append(spark, b3, d) // the retry, AFTER compaction
+    val ref = Retrieval.bm25(
+      spark, stageDir(corpus100.union(batch(9300L to 9304L))
+        .union(batch(9310L to 9314L)).union(b3)))
+      .as[(Long, Double)].collect().toSeq
+    assert(probeRows(d) == ref)
+  }
+}
