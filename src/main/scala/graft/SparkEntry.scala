@@ -233,7 +233,13 @@ object SparkEntry {
     // DSIR importance-weighted selection (hashed-bigram log-ratio, ppm)
     "q114_dsir_select"       -> ((s, d) => CorpusOps.dsirSelect(s, d)),
     // cross-source near-dup matrix over q51's verified pair machinery
-    "q115_source_overlap"    -> ((s, d) => Dedup.sourceOverlap(s, d))
+    "q115_source_overlap"    -> ((s, d) => Dedup.sourceOverlap(s, d)),
+    // hybrid retrieval: RRF fusion of the BM25 and dense-cosine arms
+    "q116_rrf_fusion"        -> ((s, d) => Retrieval.rrfFusion(s, d)),
+    // weighted sampling without replacement (deterministic E&S keys)
+    "q117_weighted_sample"   -> ((s, d) => CorpusOps.weightedSample(s, d)),
+    // span-level contamination report (which grams, where, how often)
+    "q118_contamination_spans" -> ((s, d) => CorpusOps.contaminationSpans(s, d))
   )
 
   /** The MERGE-apply oracle, shared by q87 (batch full-outer apply) and
@@ -1505,7 +1511,63 @@ object SparkEntry {
         |       count(*) AS n_pairs
         |FROM pairs v JOIN documents da ON da.doc_id = v.a
         |             JOIN documents db ON db.doc_id = v.b
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // RRF hybrid fusion: each arm mirrored (BM25 arithmetic verbatim,
+    // q60's cosine), ranks = row_number over the ROUNDED arm scores,
+    // rrf = exact rational sums — bit-identical cross-engine
+    "q116_rrf_fusion" ->
+      """WITH docs AS (SELECT doc_id,
+        |   list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(ts)) AS avgdl FROM docs),
+        |tok AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS token FROM docs),
+        |tf AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl FROM tok
+        |       WHERE token IN ('hash','merge','window') GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |lexs AS (SELECT doc_id,
+        |    round(sum( ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2+1)) /
+        |               (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) ), 4) AS score
+        |  FROM tf JOIN dfreq USING (token), stats
+        |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+        |lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrank FROM lexs),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |dens AS (SELECT vec_id AS doc_id, round(list_cosine_similarity(embedding, qv),4) AS sim
+        |         FROM embeddings, q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 50),
+        |den AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS drank FROM dens)
+        |SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+        |  round(coalesce(CAST(1 AS DOUBLE) / (lrank + 60), 0) +
+        |        coalesce(CAST(1 AS DOUBLE) / (drank + 60), 0), 6) AS rrf,
+        |  CAST(coalesce(lrank, 0) AS BIGINT) AS lrank,
+        |  CAST(coalesce(drank, 0) AS BIGINT) AS drank
+        |FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    // Efraimidis-Spirakis keys from the md5-derived uniform, quantized
+    // to integer e9 BEFORE ranking (selection boundary is exact)
+    "q117_weighted_sample" ->
+      """WITH t AS (SELECT doc_id,
+        |   list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST(floor(len(list_filter(toks,
+        |    x -> list_contains(['the','a','of','and','is','to','in'], x))) * 1000000
+        |    / len(toks)) AS BIGINT) + 1 AS w_ppm
+        | FROM t WHERE len(toks) > 0),
+        |k AS (SELECT doc_id, w_ppm,
+        |  CAST(round(ln((CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,6)) AS INT) AS BIGINT) + 1)
+        |        / 16777216.0) / w_ppm * 1e9) AS BIGINT) AS key_e9
+        | FROM sc)
+        |SELECT doc_id, w_ppm, key_e9 FROM k
+        |ORDER BY key_e9 DESC, doc_id LIMIT 100""".stripMargin,
+    // span-level contamination: q59's semantics with gram text + position
+    "q118_contamination_spans" ->
+      """WITH t AS (SELECT doc_id, source,
+        |   list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents),
+        |g AS (SELECT doc_id, source, i - 1 AS pos,
+        |        array_to_string(ts[i:i+7], ' ') AS gram
+        |      FROM t, LATERAL unnest(generate_series(1, len(ts) - 7)) AS u(i)
+        |      WHERE len(ts) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+        |SELECT doc_id, gram, min(pos) AS first_pos, count(*) AS n_occ
+        |FROM g WHERE source <> 'src0' AND gram IN (SELECT gram FROM bench)
+        |GROUP BY 1, 2 ORDER BY doc_id, gram""".stripMargin
   )
 
   /** BM25 oracle, shared verbatim by q113 (one-shot scan) and q113b

@@ -735,4 +735,67 @@ object CorpusOps {
       .orderBy(col("w_ppm").desc, col("doc_id"))
       .limit(topN)
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): draw `n` documents
+    * with inclusion probability proportional to a quality weight, in
+    * ONE pass — key_i = u_i^(1/w_i), keep the top n keys. Ranking by
+    * ln(u)/w is the same order (ln is monotone), avoids pow underflow,
+    * and is what this implementation uses. The uniform u is derived
+    * from md5(doc_id) (the q114 cross-engine hash convention), so the
+    * "random" sample is reproducible, replayable on retry, and
+    * oracle-checkable — exactly what a curation pipeline wants from a
+    * sampling stage it may have to re-run.
+    *
+    * Scale shape: one narrow corpus scan computing (w, key) row-locally,
+    * then TakeOrdered(n) — no shuffle of the corpus, driver receives n
+    * rows. The key is quantized to an exact integer (×10⁹, the repo's
+    * integer-ppm convention) BEFORE ranking so selection boundaries are
+    * bit-identical across engines.
+    */
+  def weightedSample(s: SparkSession, d: String, n: Int = 100): DataFrame = {
+    val scored = stopwordPpm(s, d) // doc_id, n_tokens, score_ppm
+    scored
+      .select(col("doc_id"),
+        (col("score_ppm") + lit(1L)).as("w_ppm"),
+        // u ∈ (0, 1]: 24 md5 bits + 1 over 2^24 — never 0, so ln(u) is finite
+        ((conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") + lit(1L)) / lit(16777216.0)).as("u"))
+      .select(col("doc_id"), col("w_ppm"),
+        round(log(col("u")) / col("w_ppm") * lit(1e9)).cast("long").as("key_e9"))
+      .orderBy(col("key_e9").desc, col("doc_id"))
+      .limit(n)
+  }
+
+  /** Span-level contamination report — the forensic companion to
+    * [[decontaminate]]: q59 answers "WHICH documents overlap the
+    * benchmark"; this answers "on WHAT text and WHERE", naming each
+    * shared `n`-gram with its first position and occurrence count per
+    * document. That's the artifact a curation review actually reads
+    * (and the input to span-level excision, which drops the span but
+    * keeps the document).
+    *
+    * Scale shape: identical to q59 — two corpus token scans, the
+    * benchmark side collapses to its distinct gram set (real benchmark
+    * suites are MBs; AQE broadcasts it from measured size, unhinted —
+    * the q59 lesson), and the join output is contamination-sized, not
+    * corpus-sized. Gram TEXT rides the join key only here, where the
+    * report needs it; q59's bulk flagging path stays on 8-byte hashes.
+    */
+  def contaminationSpans(s: SparkSession, d: String, n: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ts) - $n), i -> concat_ws(' ', slice(ts, i + 1, $n)))"))
+        .as(Seq("pos", "gram")))
+    val bench = grams(docs.filter(col("source") === "src0"))
+      .select(col("gram")).distinct()
+    grams(docs.filter(col("source") =!= "src0"))
+      .join(bench, "gram")
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(min(col("pos")).as("first_pos"), count(lit(1)).as("n_occ"))
+      .orderBy("doc_id", "gram")
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** BM25 keyword retrieval over the documents corpus — the lexical
@@ -223,6 +224,43 @@ object Retrieval {
         s.sql(s"ALTER TABLE `$tmp` RENAME TO `$t`")
       }
     } finally s.conf.set(AutoKey, prevAuto)
+  }
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    * Buettcher 2009): fuse the lexical BM25 ranking with a dense
+    * cosine ranking against a query embedding — the standard two-tower
+    * retrieval recipe for eval-set mining and targeted contamination
+    * sweeps, where neither keywords nor embeddings alone recall enough.
+    * rrf(d) = Σ_systems 1/(k0 + rank_system(d)) over the systems that
+    * returned d in their top `m`.
+    *
+    * Scale shape: each arm is its own already-scale-safe retrieval
+    * (BM25 = |terms|-bounded postings; dense = one codegen'd dot per
+    * row + TakeOrdered — the corpus never shuffles). The rank windows
+    * and the full-outer fusion join run on the two m-row CANDIDATE
+    * lists, never the corpus — the single-partition window is over ≤ m
+    * rows by construction. Ranks are row_numbers over the ROUNDED
+    * (4 dp) arm scores with doc_id tie-break, so both engines assign
+    * identical ranks; rrf is then a sum of exact rational divisions —
+    * bit-identical cross-engine.
+    */
+  def rrfFusion(s: SparkSession, d: String, terms: Seq[String] = DefaultTerms,
+                queryId: Long = 0L, m: Int = 50, k0: Int = 60,
+                topN: Int = 10): DataFrame = {
+    val lex = bm25(s, d, terms, K1, B, m)
+      .select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).as("lrank"))
+    val dense = Similarity.knnBrute(s, d, queryId, m)
+      .select(col("vec_id").as("doc_id"), row_number()
+        .over(Window.orderBy(col("sim").desc, col("vec_id"))).as("drank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (col("lrank") + k0), lit(0.0)) +
+          coalesce(lit(1.0) / (col("drank") + k0), lit(0.0)), 6).as("rrf"),
+        coalesce(col("lrank"), lit(0)).as("lrank"),
+        coalesce(col("drank"), lit(0)).as("drank"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topN)
   }
 
   /** The probe side: same output as [[bm25]] over whatever the index

@@ -142,4 +142,41 @@ class CorpusSelectionSpec extends AnyFunSuite {
     assert(m(2L) == 2.0)
     assert(m(3L) == 2.0)
   }
+
+  test("q117 weightedSample: without replacement, deterministic, weight-biased") {
+    val sel = CorpusOps.weightedSample(spark, SharedSpark.sf)
+      .as[(Long, Long, Long)].collect()
+    assert(sel.length == 100)
+    assert(sel.map(_._1).distinct.length == 100) // without replacement
+    assert(sel.forall { case (_, w, k) => w >= 1L && k <= 0L }) // ln(u) <= 0
+    val again = CorpusOps.weightedSample(spark, SharedSpark.sf)
+      .as[(Long, Long, Long)].collect()
+    assert(sel.toSeq == again.toSeq) // the md5-derived keys are replayable
+    // inclusion probability rises with weight: the selected docs' mean
+    // weight must exceed the corpus mean (deterministic given the data)
+    val corpusMeanW = Tables.documents(spark, SharedSpark.sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("doc_id")
+      .agg((floor(count(when(col("t").isin(TextAnalysis.stopwords: _*), 1)) *
+        lit(1000000L) / count(lit(1))) + 1L).as("w"))
+      .agg(avg("w")).as[Double].head()
+    val selMeanW = sel.map(_._2).sum.toDouble / sel.length
+    assert(selMeanW > corpusMeanW)
+  }
+
+  test("q118 contaminationSpans: agrees with q59 per doc; grams are real 8-token spans") {
+    val spans = CorpusOps.contaminationSpans(spark, SharedSpark.sf)
+      .as[(Long, String, Int, Long)].collect() // doc_id, gram, first_pos, n_occ
+    assert(spans.nonEmpty)
+    spans.foreach { case (_, gram, pos, occ) =>
+      assert(gram.split(" ").length == 8)
+      assert(pos >= 0 && occ >= 1)
+    }
+    // the span report's per-doc distinct-gram count IS q59's n_shared
+    val perDoc = spans.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val q59 = CorpusOps.decontaminate(spark, SharedSpark.sf)
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc == q59)
+  }
 }

@@ -67,6 +67,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(m.map(_._3).sum == Dedup.minhashLsh(spark, sf).count())
   }
 
+  test("q116 rrfFusion: rrf reconstructs from the arm ranks; ordered; deterministic") {
+    val rows = Retrieval.rrfFusion(spark, sf)
+      .as[(Long, Double, Int, Int)].collect()
+    assert(rows.length == 10)
+    rows.foreach { case (_, rrf, lrank, drank) =>
+      assert(lrank > 0 || drank > 0) // came from at least one arm
+      val expect = (if (lrank > 0) 1.0 / (lrank + 60) else 0.0) +
+        (if (drank > 0) 1.0 / (drank + 60) else 0.0)
+      assert(math.abs(rrf - expect) < 5e-7) // output rounded to 6 dp
+    }
+    rows.sliding(2).foreach { case Array((ida, ra, _, _), (idb, rb, _, _)) =>
+      assert(ra > rb || (ra == rb && ida < idb))
+    }
+    val again = Retrieval.rrfFusion(spark, sf).as[(Long, Double, Int, Int)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("q116 rrfFusion: a doc surfaced by both arms beats a single-arm doc of the same best rank") {
+    // The fusion property RRF exists for: agreement across systems is
+    // evidence. 1/(r+60) + 1/(r'+60) > 1/(r+60) for any finite r'.
+    val rows = Retrieval.rrfFusion(spark, sf, topN = 200)
+      .as[(Long, Double, Int, Int)].collect()
+    val both = rows.filter(r => r._3 > 0 && r._4 > 0)
+    val lexOnly = rows.filter(r => r._3 > 0 && r._4 == 0)
+    both.foreach { b =>
+      lexOnly.filter(_._3 == b._3).foreach(l => assert(b._2 > l._2))
+    }
+  }
+
   // ---- maintained-index lifecycle (append / retry / compact) ----
 
   private def stageDir(docs: org.apache.spark.sql.DataFrame): String = {
