@@ -239,7 +239,9 @@ object SparkEntry {
     // weighted sampling without replacement (deterministic E&S keys)
     "q117_weighted_sample"   -> ((s, d) => CorpusOps.weightedSample(s, d)),
     // span-level contamination report (which grams, where, how often)
-    "q118_contamination_spans" -> ((s, d) => CorpusOps.contaminationSpans(s, d))
+    "q118_contamination_spans" -> ((s, d) => CorpusOps.contaminationSpans(s, d)),
+    // epoch-deterministic shard/order manifest for distributed loaders
+    "q119_shuffle_shards"    -> ((s, d) => CorpusOps.shuffleShards(s, d))
   )
 
   /** The MERGE-apply oracle, shared by q87 (batch full-outer apply) and
@@ -1567,7 +1569,16 @@ object SparkEntry {
         |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
         |SELECT doc_id, gram, min(pos) AS first_pos, count(*) AS n_occ
         |FROM g WHERE source <> 'src0' AND gram IN (SELECT gram FROM bench)
-        |GROUP BY 1, 2 ORDER BY doc_id, gram""".stripMargin
+        |GROUP BY 1, 2 ORDER BY doc_id, gram""".stripMargin,
+    // epoch-keyed md5 permutation (epoch 0), shard = key mod 8, position
+    // = within-shard row_number — the loader manifest, RNG-free
+    "q119_shuffle_shards" ->
+      """WITH k AS (SELECT doc_id,
+        |  CAST(concat('0x', substring(md5(concat('0', ':', CAST(doc_id AS VARCHAR))),1,12)) AS BIGINT) AS skey
+        | FROM documents)
+        |SELECT doc_id, CAST(skey % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS BIGINT) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin
   )
 
   /** BM25 oracle, shared verbatim by q113 (one-shot scan) and q113b

@@ -798,4 +798,32 @@ object CorpusOps {
       .agg(min(col("pos")).as("first_pos"), count(lit(1)).as("n_occ"))
       .orderBy("doc_id", "gram")
   }
+
+  /** Epoch-deterministic training-order manifest: assign every document
+    * to a loader shard and a position within it — the "global shuffle"
+    * a distributed data loader consumes, without any RNG state. The
+    * permutation key is md5(epoch ':' doc_id) (the q114 cross-engine
+    * hash convention), so epoch e+1 is a fresh full reshuffle of epoch
+    * e, every worker can recompute its own shard independently, and a
+    * preempted job resumes the exact same order.
+    *
+    * Scale shape: ONE narrow exchange (hash by shard) + a within-shard
+    * sort. Per-shard sequential numbering is the parallel unit by
+    * design — `nShards` is the loader's world size (hundreds to
+    * thousands at 100 TB), so no task ever serializes the corpus; the
+    * shard sort is the loader-side order the manifest exists to define.
+    */
+  def shuffleShards(s: SparkSession, d: String, nShards: Int = 8,
+                    epoch: Int = 0): DataFrame = {
+    val skey = conv(substring(
+      md5(concat_ws(":", lit(epoch), col("doc_id"))), 1, 12), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), skey.as("skey"))
+      .withColumn("shard", (col("skey") % nShards).cast("int"))
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).cast("long").as("pos"))
+      .orderBy("shard", "pos")
+  }
 }

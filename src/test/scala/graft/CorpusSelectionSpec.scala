@@ -179,4 +179,24 @@ class CorpusSelectionSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(perDoc == q59)
   }
+
+  test("q119 shuffleShards: per-epoch bijection, contiguous per-shard positions, epochs differ") {
+    def manifest(epoch: Int) = CorpusOps.shuffleShards(spark, SharedSpark.sf, epoch = epoch)
+      .as[(Long, Int, Long)].collect()
+    val e0 = manifest(0)
+    val nDocs = Tables.documents(spark, SharedSpark.sf).count()
+    assert(e0.length == nDocs) // a permutation: every doc, exactly once
+    assert(e0.map(_._1).distinct.length == nDocs)
+    assert(e0.forall { case (_, sh, _) => sh >= 0 && sh < 8 })
+    // positions within each shard are exactly 1..count(shard)
+    e0.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // epoch 1 is a genuinely different permutation of the same doc set
+    val e1 = manifest(1)
+    assert(e1.map(_._1).sorted.toSeq == e0.map(_._1).sorted.toSeq)
+    assert(e1.toSeq != e0.toSeq)
+    // and replayable: same epoch → identical manifest
+    assert(manifest(1).toSeq == e1.toSeq)
+  }
 }
