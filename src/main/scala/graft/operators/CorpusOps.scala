@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Lineage.TruncateOps
 import graft.Tables
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -693,11 +694,18 @@ object CorpusOps {
     * convention); ln is evaluated once per bucket on identical double
     * inputs in both engines.
     *
-    * Scale shape: bigram hashing is row-local; the two distribution
-    * aggregates and the per-(doc,bucket) count are partial-agg'd hash
-    * shuffles; the score join's build side is ≤ nBuckets rows (unhinted
-    * — AQE broadcasts it from measured size); the final per-doc sum is
-    * one more partial-agg'd shuffle. Nothing grows with vocabulary.
+    * Scale shape: bigram hashing is row-local; the corpus is read
+    * exactly TWICE — one pass aggregates both distributions as
+    * conditional counts of a single bucket groupBy (model-sized output,
+    * lineage-truncated so totals and scores read 4096 materialized rows,
+    * not re-runs of the scan), one pass computes per-(doc,bucket) counts
+    * for pool docs; the score join's build side is ≤ nBuckets rows
+    * (unhinted — AQE broadcasts it from measured size); the final
+    * per-doc sum is one more partial-agg'd shuffle. Nothing grows with
+    * vocabulary. (The first cut expressed the model side as separate
+    * target/pool/total aggregates — five consumers of the tokenize+hash
+    * subtree, which Spark correctly re-executed per consumer: 434 s at
+    * the 5 M-doc point, vs ~2 scans' worth after this rewrite.)
     */
   def dsirSelect(s: SparkSession, d: String, targetSource: String = "src0",
                  nBuckets: Int = 4096, topN: Int = 50): DataFrame = {
@@ -712,26 +720,48 @@ object CorpusOps {
       .select(col("doc_id"), col("source"),
         (conv(substring(md5(col("bg")), 1, 6), 16, 10).cast("long") % nBuckets)
           .as("b"))
-    val pool = occ.filter(col("source") =!= targetSource)
-    val tCounts = occ.filter(col("source") === targetSource)
-      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
-    val rCounts = pool.groupBy(col("b")).agg(count(lit(1)).as("rc"))
-    val tTot = tCounts.agg(sum(col("tc")).cast("double").as("t_tot"))
-    val rTot = rCounts.agg(sum(col("rc")).cast("double").as("r_tot"))
+    // BOTH feature distributions in ONE corpus pass: per-bucket target
+    // and pool occurrence counts as two conditional aggregates (the q22
+    // shape) — the first cut aggregated target buckets, pool buckets and
+    // their totals as three separate consumers of the tokenize+hash
+    // subtree, and Spark (correctly) re-ran that subtree per consumer:
+    // 3× the md5 work, measured 434 s at the 5 M-doc point. The model
+    // side is now nBuckets rows from one scan; totals are a 1-row agg OF
+    // those rows (q44 convention), never another corpus read.
+    // ≤ nBuckets rows — model-sized; truncating its lineage pins the one
+    // corpus scan behind it, so the two consumers below (totals, scores)
+    // read 4096 materialized rows instead of re-running the scan each
+    val bucketStats = occ
+      .groupBy(col("b"))
+      .agg(count(when(col("source") === targetSource, 1)).as("tc"),
+        count(when(col("source") =!= targetSource, 1)).as("rc"))
+      .truncated
+    val totals = bucketStats.agg(
+      sum(col("tc")).cast("double").as("t_tot"),
+      sum(col("rc")).cast("double").as("r_tot"))
     // every pool bucket gets a score; target-only buckets never appear
-    // in a pool document, so rCounts is the complete key set
-    val scores = rCounts
-      .join(tCounts, Seq("b"), "left")
-      .crossJoin(tTot).crossJoin(rTot)
+    // in a pool document, so rc >= 1 is the complete key set
+    val scores = bucketStats
+      .filter(col("rc") > 0)
+      .crossJoin(totals)
       .select(col("b"),
-        round((log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("t_tot") + nBuckets)) -
+        round((log((col("tc") + lit(1.0)) / (col("t_tot") + nBuckets)) -
           log((col("rc") + lit(1.0)) / (col("r_tot") + nBuckets))) * 1e6)
           .cast("long").as("lr_ppm"))
-    pool
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+    // scoring pass: the second (and last) corpus read — pool docs only.
+    // w(doc) = Σ_b n_doc(b)·lr(b) is LINEAR over bigram occurrences, so
+    // score each occurrence via the (AQE-broadcast) nBuckets-row map and
+    // partial-agg straight to per-doc sums: a doc's bigrams are
+    // contiguous in its scan partition, so the map-side combine emits
+    // ~one row per doc and the only shuffle here carries |docs| rows.
+    // (The first cut grouped by (doc, bucket) first — a shuffle of
+    // ~|occurrences| rows that exists in the paper's notation but not in
+    // the arithmetic; it was the measured bottleneck at the 5 M-doc
+    // point.)
+    occ.filter(col("source") =!= targetSource)
       .join(scores, "b")
       .groupBy(col("doc_id"))
-      .agg(sum(col("n") * col("lr_ppm")).as("w_ppm"))
+      .agg(sum(col("lr_ppm")).as("w_ppm"))
       .orderBy(col("w_ppm").desc, col("doc_id"))
       .limit(topN)
   }
