@@ -241,7 +241,9 @@ object SparkEntry {
     // span-level contamination report (which grams, where, how often)
     "q118_contamination_spans" -> ((s, d) => CorpusOps.contaminationSpans(s, d)),
     // epoch-deterministic shard/order manifest for distributed loaders
-    "q119_shuffle_shards"    -> ((s, d) => CorpusOps.shuffleShards(s, d))
+    "q119_shuffle_shards"    -> ((s, d) => CorpusOps.shuffleShards(s, d)),
+    // DoReMi-style multiplicative domain reweighting (linearized MW, ppm)
+    "q120_doremi_mix"        -> ((s, d) => CorpusOps.doremiMix(s, d))
   )
 
   /** The MERGE-apply oracle, shared by q87 (batch full-outer apply) and
@@ -1578,8 +1580,53 @@ object SparkEntry {
         | FROM documents)
         |SELECT doc_id, CAST(skey % 8 AS INT) AS shard,
         |  CAST(row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS BIGINT) AS pos
-        |FROM k ORDER BY shard, pos""".stripMargin
+        |FROM k ORDER BY shard, pos""".stripMargin,
+    // generated k-iteration mirror of the linearized multiplicative-
+    // weights update — bit-for-bit (the q78 convention)
+    "q120_doremi_mix" -> doremiOracleSql()
   )
+
+  /** Generated DuckDB mirror of [[graft.operators.CorpusOps.doremiMix]]:
+    * q81's lm CTE → per-domain floor-mean excess loss → `iters` unrolled
+    * CTEs of the linearized multiplicative-weights update. Every
+    * operation is positive-integer floor arithmetic (HUGEINT `//` on the
+    * DuckDB side ≡ positive LONG `/` on the JVM side), so the weights
+    * replay bit-for-bit — same discipline as q78's GD mirror.
+    */
+  private def doremiOracleSql(iters: Int = 3, etaPct: Int = 50,
+                              smoothPct: Int = 10): String = {
+    val f = s"(1000000 + ($etaPct * excess) // 100)" // the per-domain factor
+    val its = (1 to iters).map { k =>
+      s"""w$k AS (SELECT source, excess, nd,
+         |  ((${100 - smoothPct}) * ((w * $f * 1000000) // (SELECT sum(w * $f) FROM w${k - 1}))) // 100
+         |  + ($smoothPct * 1000000) // (100 * nd) AS w FROM w${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to iters).map { k =>
+      s"SELECT $k AS iter, source, CAST(excess AS BIGINT) AS excess_ppm, CAST(w AS BIGINT) AS weight_ppm FROM w$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+       |               unnest(range(len(string_split(text,' ')))) AS pos FROM documents)
+       |  WHERE len(t) > 0),
+       |bi AS (SELECT a.doc_id, a.t AS w1, a.t || ' ' || b.t AS g
+       |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+       |pf AS (SELECT g, count(*) AS c2 FROM bi GROUP BY 1),
+       |lf AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+       |lm AS (SELECT doc_id,
+       |  CAST(CAST(sum((CAST(c2 AS HUGEINT) * 1000000) // c1) AS HUGEINT)
+       |       // count(*) AS BIGINT) AS lm_ppm
+       |  FROM bi JOIN pf USING (g) JOIN lf USING (w1) GROUP BY doc_id),
+       |dom AS (SELECT d.source, count(*) AS n, CAST(sum(1000000 - lm.lm_ppm) AS BIGINT) AS sl
+       |        FROM documents d JOIN lm ON d.doc_id = lm.doc_id GROUP BY 1),
+       |ex AS (SELECT source, GREATEST(0, sl // n -
+       |         (SELECT CAST(sum(sl) AS BIGINT) // CAST(sum(n) AS BIGINT) FROM dom)) AS excess,
+       |       (SELECT count(*) FROM dom) AS nd FROM dom),
+       |w0 AS (SELECT source, excess, nd, 1000000 // nd AS w FROM ex),
+       |$its
+       |$sel
+       |ORDER BY iter, source""".stripMargin
+  }
 
   /** BM25 oracle, shared verbatim by q113 (one-shot scan) and q113b
     * (persisted inverted-index probe): the index is a layout, not a

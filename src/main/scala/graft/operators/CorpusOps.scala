@@ -766,6 +766,63 @@ object CorpusOps {
       .limit(topN)
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "Doremi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * simplified to a static proxy loss): domains whose documents the
+    * corpus bigram LM finds hard (high excess loss over the global mean)
+    * get their mixture weight multiplicatively boosted each round, then
+    * renormalized and smoothed toward uniform — the principled
+    * "upweight what the proxy model struggles with" counterpart of q75's
+    * popularity-damped mix and q114's per-document DSIR selector.
+    *
+    * Engine-exact discipline (the q78 GD convention): per-doc loss =
+    * 10⁶ − q81's lm_ppm (already an exact integer); per-domain and
+    * global losses are floor-means; the multiplicative-weights update
+    * uses the LINEARIZED factor 10⁶ + ⌊η·excess⌋ (no `exp`, whose
+    * last-ulp rounding differs between engines) with floor-division
+    * renormalization and uniform smoothing, all in positive-LONG
+    * arithmetic (max intermediate ~1.5e18 < 2⁶³) — a generated DuckDB
+    * mirror replays the iterations bit-for-bit.
+    *
+    * Scale shape: ONE corpus pass (q81's linear pipeline) feeds a
+    * per-source partial-agg'd count/sum; only |domains| rows ever reach
+    * the driver, and the k iterations are model-sized arithmetic — at
+    * 100 TB the cost is exactly one lmScore pass.
+    */
+  def doremiMix(s: SparkSession, d: String, iters: Int = 3,
+                etaPct: Int = 50, smoothPct: Int = 10): DataFrame = {
+    import s.implicits._
+    val perDoc = lmScore(s, d)
+      .select(col("doc_id"), (lit(1000000L) - col("lm_ppm")).as("loss"))
+    val dom = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(perDoc, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("loss")).as("sl"))
+      .collect() // |domains| rows — model-sized, the q78 convention
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nAll = dom.map(_._2).sum
+    val slAll = dom.map(_._3).sum
+    val base = slAll / nAll // global floor-mean loss (all positive)
+    val nd = dom.length
+    val excess = dom.map { case (src, n, sl) => (src, math.max(0L, sl / n - base)) }
+    var w = excess.map(_ => 1000000L / nd)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
+    for (it <- 1 to iters) {
+      val m = w.zip(excess).map { case (wd, (_, ex)) =>
+        wd * (1000000L + etaPct * ex / 100L)
+      }
+      val tot = m.sum
+      w = m.map(md => (100L - smoothPct) * (md * 1000000L / tot) / 100L +
+        smoothPct * 1000000L / (100L * nd))
+      excess.indices.foreach { i =>
+        out += ((it, excess(i)._1, excess(i)._2, w(i)))
+      }
+    }
+    out.toSeq.toDF("iter", "source", "excess_ppm", "weight_ppm")
+      .orderBy("iter", "source")
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
     * "Weighted random sampling with a reservoir"): draw `n` documents
     * with inclusion probability proportional to a quality weight, in

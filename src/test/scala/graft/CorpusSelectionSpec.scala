@@ -199,4 +199,30 @@ class CorpusSelectionSpec extends AnyFunSuite {
     // and replayable: same epoch → identical manifest
     assert(manifest(1).toSeq == e1.toSeq)
   }
+
+  test("q120 doremiMix: weights stay a (floored) distribution and tilt toward excess loss") {
+    val rows = CorpusOps.doremiMix(spark, SharedSpark.sf)
+      .as[(Int, String, Long, Long)].collect()
+    val iters = rows.map(_._1).distinct.sorted
+    assert(iters.sameElements(Array(1, 2, 3)))
+    val byIter = rows.groupBy(_._1)
+    val nd = byIter(1).length
+    byIter.values.foreach { rs =>
+      // floor-division renormalization + smoothing can only LOSE ppm
+      val tot = rs.map(_._4).sum
+      assert(tot <= 1000000L && tot > 1000000L - 100L * nd, s"sum=$tot")
+      assert(rs.forall(_._4 > 0L)) // smoothing floors every domain above 0
+    }
+    // the max-excess domain's weight is non-decreasing across iterations
+    // (it holds the largest multiplicative factor), and beats uniform
+    val maxSrc = byIter(1).maxBy(r => (r._3, r._2))._2
+    val ws = iters.map(i => byIter(i).find(_._2 == maxSrc).get._4)
+    assert(ws.sliding(2).forall { case Array(a, b) => b >= a })
+    if (byIter(1).map(_._3).distinct.length > 1) // non-degenerate losses
+      assert(ws.last > 1000000L / nd)
+    // deterministic end to end
+    val again = CorpusOps.doremiMix(spark, SharedSpark.sf)
+      .as[(Int, String, Long, Long)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
 }

@@ -52,6 +52,19 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("q114 dsirSelect: the scoring plan reads the corpus exactly once") {
+    // The model side (bucket stats → totals → scores) is lineage-truncated
+    // at 4096 rows, so the only corpus scan left in the final plan is the
+    // pool scoring pass — the first cut re-executed the tokenize+md5
+    // subtree once per model consumer (3 extra scans, 434 s at 5 M docs).
+    val plan = CorpusOps.dsirSelect(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n$plan")
+    assert(plan.contains("ExistingRDD"), // the materialized bucket stats
+      s"model side should read the truncated RDD:\n$plan")
+  }
+
   test("q114 dsirSelect: a target-heavier pool doc outranks a target-lighter one") {
     // The top-ranked doc's bigram buckets must look more src0-like than
     // the bottom-ranked one's under the same model — sanity of sign.
