@@ -243,7 +243,9 @@ object SparkEntry {
     // epoch-deterministic shard/order manifest for distributed loaders
     "q119_shuffle_shards"    -> ((s, d) => CorpusOps.shuffleShards(s, d)),
     // DoReMi-style multiplicative domain reweighting (linearized MW, ppm)
-    "q120_doremi_mix"        -> ((s, d) => CorpusOps.doremiMix(s, d))
+    "q120_doremi_mix"        -> ((s, d) => CorpusOps.doremiMix(s, d)),
+    // CCNet-style per-source head/middle/tail LM-likelihood terciles
+    "q121_ccnet_buckets"     -> ((s, d) => CorpusOps.ccnetBuckets(s, d))
   )
 
   /** The MERGE-apply oracle, shared by q87 (batch full-outer apply) and
@@ -1583,7 +1585,36 @@ object SparkEntry {
         |FROM k ORDER BY shard, pos""".stripMargin,
     // generated k-iteration mirror of the linearized multiplicative-
     // weights update — bit-for-bit (the q78 convention)
-    "q120_doremi_mix" -> doremiOracleSql()
+    "q120_doremi_mix" -> doremiOracleSql(),
+    // q81's lm CTE → per-source value histogram → exact integer tercile
+    // tests (3·above < n−1); ties share percent-rank's min-rank bucket
+    "q121_ccnet_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+        |               unnest(range(len(string_split(text,' ')))) AS pos FROM documents)
+        |  WHERE len(t) > 0),
+        |bi AS (SELECT a.doc_id, a.t AS w1, a.t || ' ' || b.t AS g
+        |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+        |pf AS (SELECT g, count(*) AS c2 FROM bi GROUP BY 1),
+        |lf AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |lm AS (SELECT doc_id,
+        |  CAST(CAST(sum((CAST(c2 AS HUGEINT) * 1000000) // c1) AS HUGEINT)
+        |       // count(*) AS BIGINT) AS lm_ppm
+        |  FROM bi JOIN pf USING (g) JOIN lf USING (w1) GROUP BY doc_id),
+        |scored AS (SELECT d.doc_id, d.source, lm.lm_ppm
+        |           FROM documents d JOIN lm ON d.doc_id = lm.doc_id),
+        |hist AS (SELECT source, lm_ppm, count(*) AS cnt FROM scored GROUP BY 1, 2),
+        |marked AS (SELECT source, lm_ppm, cnt,
+        |  sum(cnt) OVER (PARTITION BY source ORDER BY lm_ppm DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY source) AS total FROM hist),
+        |b AS (SELECT source, lm_ppm,
+        |  CASE WHEN total = 1 OR 3*(cum-cnt) < total-1 THEN 'head'
+        |       WHEN 3*(cum-cnt) < 2*(total-1) THEN 'middle'
+        |       ELSE 'tail' END AS bucket FROM marked)
+        |SELECT s.doc_id, s.source, s.lm_ppm, b.bucket
+        |FROM scored s JOIN b USING (source, lm_ppm) ORDER BY s.doc_id""".stripMargin
   )
 
   /** Generated DuckDB mirror of [[graft.operators.CorpusOps.doremiMix]]:

@@ -348,7 +348,14 @@ object CorpusOps {
         xxhash64(col("t"), col("t1")).as("h2"))
     val pairFreq = bi.groupBy(col("h2")).agg(count(lit(1)).as("c2"))
     val leftFreq = bi.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
-    bi.join(pairFreq, "h2").join(leftFreq, "h1")
+    // The frequency tables grow with the VOCABULARY (the synthetic scale
+    // corpus multiplies it per replica), so their joins back must stay
+    // SPILLABLE: without the hint, AQE's SMJ→SHJ conversion — keyed on
+    // COMPRESSED shuffle bytes, which long hashes beat by 3-5× — built
+    // 32 concurrent unspillable hash maps and starved the executor pool
+    // at the 5 M-doc point (round-5 measurement). A sort-merge join
+    // sorts-and-spills; its cost tracks corpus size, never box RAM.
+    bi.join(pairFreq.hint("merge"), "h2").join(leftFreq.hint("merge"), "h1")
       .select(col("doc_id"),
         floor(col("c2").cast("decimal(38,0)") * 1000000 / col("c1"))
           .cast("long").as("ppm"))
@@ -404,10 +411,13 @@ object CorpusOps {
         xxhash64(col("t"), col("t1")).as("h12"),
         xxhash64(col("t1"), col("t2")).as("h23"),
         xxhash64(col("t1")).as("h2"))
-      .join(rt, Seq("h123"), "left")
-      .join(r12, Seq("h12"), "left")
-      .join(r12.select(col("h12").as("h23"), col("c12").as("c23")), Seq("h23"), "left")
-      .join(r1.select(col("h1").as("h2"), col("c1").as("c2")), Seq("h2"), "left")
+      // model tables grow with the REFERENCE vocabulary — spillable
+      // sort-merge joins, never AQE's unspillable hash builds (the q81
+      // 5 M-doc lesson; see lmScore)
+      .join(rt.hint("merge"), Seq("h123"), "left")
+      .join(r12.hint("merge"), Seq("h12"), "left")
+      .join(r12.select(col("h12").as("h23"), col("c12").as("c23")).hint("merge"), Seq("h23"), "left")
+      .join(r1.select(col("h1").as("h2"), col("c1").as("c2")).hint("merge"), Seq("h2"), "left")
     val ppm = when(col("c123").isNotNull,
         floor(col("c123").cast("decimal(38,0)") * 1000000 / col("c12")))
       .when(col("c23").isNotNull,
@@ -766,6 +776,44 @@ object CorpusOps {
       .limit(topN)
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): within each source, split documents into head / middle /
+    * tail TERCILES of the corpus-LM likelihood (q81's lm_ppm — CCNet
+    * buckets on LM perplexity per language; source plays the language's
+    * role here), the standard pre-filter that keeps head+middle and
+    * drops the tail.
+    *
+    * Tercile boundaries use q111's histogram rewrite — the per-source
+    * rank runs over the (source, lm_ppm) VALUE histogram (≤ |sources| ×
+    * 10⁶-grid rows, model-sized), never the corpus, so there is no
+    * per-source window whose ~|sources| partitions would serialize a
+    * 100 TB scan. Tie handling is percent-rank's (ties share the min
+    * rank ⇒ one bucket per VALUE), and the tercile tests are EXACT
+    * integer comparisons — `3·(docs strictly above) < n−1` — so no
+    * rounding ever decides a boundary. Assignment is a broadcast-sized
+    * join back; the corpus-side cost is q81's pass + one hash agg.
+    */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val scored = lmScore(s, d).select(col("doc_id"), col("lm_ppm"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+    val hist = scored.groupBy(col("source"), col("lm_ppm"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("lm_ppm").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("lm_ppm"),
+        when(col("total") === 1 ||
+            lit(3) * (col("cum") - col("cnt")) < col("total") - 1, "head")
+          .when(lit(3) * (col("cum") - col("cnt")) < lit(2) * (col("total") - 1), "middle")
+          .otherwise("tail").as("bucket"))
+    scored.join(marked, Seq("source", "lm_ppm"))
+      .select(col("doc_id"), col("source"), col("lm_ppm"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** DoReMi-style domain reweighting (Xie et al. 2023, "Doremi:
     * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
     * simplified to a static proxy loss): domains whose documents the
@@ -877,10 +925,19 @@ object CorpusOps {
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(ts) - $n), i -> concat_ws(' ', slice(ts, i + 1, $n)))"))
         .as(Seq("pos", "gram")))
+    // Membership joins on the 8-byte gram HASH (the q59 convention) —
+    // the gram TEXT the report needs rides the POOL side only. The first
+    // cut joined on the STRING: at the 5 M-doc point the bench gram set
+    // (~60-byte strings) exceeded auto-broadcast, and AQE's SMJ→SHJ
+    // conversion built 32 concurrent unspillable string-keyed maps —
+    // executor OOM (round-5 measurement). As hashes the same set is
+    // 8 bytes/row: broadcast while it fits, compact spill-safe build
+    // when it doesn't.
     val bench = grams(docs.filter(col("source") === "src0"))
-      .select(col("gram")).distinct()
+      .select(xxhash64(col("gram")).as("gh")).distinct()
     grams(docs.filter(col("source") =!= "src0"))
-      .join(bench, "gram")
+      .withColumn("gh", xxhash64(col("gram")))
+      .join(bench, "gh")
       .groupBy(col("doc_id"), col("gram"))
       .agg(min(col("pos")).as("first_pos"), count(lit(1)).as("n_occ"))
       .orderBy("doc_id", "gram")

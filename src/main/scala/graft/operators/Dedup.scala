@@ -39,7 +39,8 @@ object Dedup {
     // largest exploded tables in the engine, so skipping their signature
     // shuffle matters most here. ex stays for exact verification only.
     minhashLshPairs(ex, tau, Some(signaturesRowLevelChar(
-      Tables.documents(s, d), n, 2)))
+      Tables.documents(s, d), n, 2)),
+      materializeEx = materializeShingles(s, d))
   }
 
   /** Char-gram analog of [[signaturesRowLevel]]. */
@@ -439,7 +440,8 @@ object Dedup {
     // spec-asserted) — the 64-min-agg shuffle disappears and the shingle
     // table is only materialized for exact verification.
     minhashLshPairs(explodedShingles(s, d), tau,
-      Some(signaturesRowLevel(Tables.documents(s, d))))
+      Some(signaturesRowLevel(Tables.documents(s, d))),
+      materializeEx = materializeShingles(s, d))
 
   /** Cross-source duplication matrix: for every unordered source pair,
     * the number of exact-verified near-dup pairs (jaccard ≥ τ) with one
@@ -510,16 +512,38 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** The q58 cache-vs-recompute dial, generalized to the SHINGLE table
+    * (tens of rows × ~16 bytes per doc — an order of magnitude beyond a
+    * signature row): materializing it wins while its blocks fit executor
+    * storage and detonates when they don't. Measured round 5 at the
+    * 5 M-doc point: the eager materialization's hash agg starved the
+    * unified memory region mid-put (UNABLE_TO_ACQUIRE, 48 g heap,
+    * q115/q51 path) while recomputing the shingle projection per
+    * consumer is linear scan+hash work that tracks corpus size.
+    * `spark.graft.dedup.materializeShingles` = true | false | auto
+    * (auto: materialize below 2 M docs, metadata-count-cheap). On a
+    * real cluster the storage pool scales with executors, so `true` is
+    * safe far longer there — the dial is per-deployment.
+    */
+  private def materializeShingles(s: SparkSession, d: String): Boolean =
+    s.conf.get("spark.graft.dedup.materializeShingles", "auto") match {
+      case "true"  => true
+      case "false" => false
+      case _       => Tables.documents(s, d).count() <= 2000000L
+    }
+
   /** Shared LSH front-end: materialized shingles, materialized minhash
     * signatures, and the band-bucket candidate pair set (a, b).
     */
   private def lshCandidates(exIn: DataFrame,
-                            sigOpt: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
+                            sigOpt: Option[DataFrame] = None,
+                            materializeEx: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     // The shingle table feeds several consumers (sizes, signatures, both
     // sides of exact verification). Materialize it once — the
     // query-local analog of the materialized shingle table a 100 TB
-    // deployment would keep as a real table.
-    val ex = exIn.truncated
+    // deployment would keep as a real table — UNLESS the
+    // materializeShingles dial says the blocks won't fit this box.
+    val ex = if (materializeEx) exIn.truncated else exIn
     // One row per doc, 64 longs — tiny; materialized because it feeds
     // four plan branches (two band sides, two agreement-join sides).
     // Callers whose features are word 3-grams supply the shuffle-free
@@ -541,8 +565,9 @@ object Dedup {
     * explode: 133 s vs ~3 s at sf0.1).
     */
   private def minhashLshPairs(exIn: DataFrame, tau: Double,
-                              sigOpt: Option[DataFrame] = None): DataFrame = {
-    val (ex, sig, candRaw) = lshCandidates(exIn, sigOpt)
+                              sigOpt: Option[DataFrame] = None,
+                              materializeEx: Boolean = true): DataFrame = {
+    val (ex, sig, candRaw) = lshCandidates(exIn, sigOpt, materializeEx)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // Signature-agreement pre-filter: the matching-minhash count is an
     // unbiased Jaccard estimate (σ = √(j(1-j)/64) ≤ 0.063), so requiring
@@ -596,8 +621,12 @@ object Dedup {
     val aSrc = (0 to 9).map(i => s"src$i")
     val inA = col("source").isin(aSrc: _*)
     val (da, db) = (docs.filter(inA), docs.filter(!inA))
-    val exA = shinglesOf(da).truncated
-    val exB = shinglesOf(db).truncated
+    // same materializeShingles dial as the self-join operators: at the
+    // 5 M-doc point the two cached shingle halves are the same blocks
+    // that starved q51's path; signatures (64 longs/doc) stay cached
+    val matEx = materializeShingles(s, d)
+    val exA = if (matEx) shinglesOf(da).truncated else shinglesOf(da)
+    val exB = if (matEx) shinglesOf(db).truncated else shinglesOf(db)
     val sigA = signaturesRowLevel(da).truncated
     val sigB = signaturesRowLevel(db).truncated
     val candRaw = bandsOf(sigA).as("a").join(bandsOf(sigB).as("b"),

@@ -225,4 +225,29 @@ class CorpusSelectionSpec extends AnyFunSuite {
       .as[(Int, String, Long, Long)].collect()
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("q121 ccnetBuckets: full coverage, monotone tercile boundaries per source") {
+    val rows = CorpusOps.ccnetBuckets(spark, SharedSpark.sf)
+      .as[(Long, String, Long, String)].collect()
+    // covers exactly the lm-scored docs (≥ 1 bigram), one bucket each
+    assert(rows.length == CorpusOps.lmScore(spark, SharedSpark.sf).count())
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall(r => Set("head", "middle", "tail").contains(r._4)))
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val byB = rs.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      // head holds the most-likely text: every head score ≥ every middle
+      // score ≥ every tail score (value-level buckets make this strict
+      // in the sense of no interleaving)
+      for {
+        h <- byB.get("head"); m <- byB.get("middle")
+      } assert(h.min >= m.max)
+      for {
+        m <- byB.get("middle"); t <- byB.get("tail")
+      } assert(m.min >= t.max)
+      assert(byB.contains("head")) // the top value is always head
+    }
+    val again = CorpusOps.ccnetBuckets(spark, SharedSpark.sf)
+      .as[(Long, String, Long, String)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
 }
