@@ -504,8 +504,8 @@ object Dedup {
       .dropDuplicates("a", "b")
     val agree = agreement("sa", "sb")
     candRaw
-      .join(sig.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("b") === col("sb.doc_id"))
+      .join(sig.as("sa").hint("merge"), col("a") === col("sa.doc_id"))
+      .join(sig.as("sb").hint("merge"), col("b") === col("sb.doc_id"))
       .select(col("a"), col("b"),
         round(agree.cast("double") / MinhashPerms, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= tau)
@@ -576,13 +576,19 @@ object Dedup {
     // vocabulary produces (measured 103k candidates → a few hundred).
     // Exact verification below keeps the output exact; this only shrinks
     // the expensive shingle-level join — the verification cost driver at
-    // 100 TB. The sig join is corpus-sized → auto-broadcast at small SF,
-    // shuffle join at scale (no explicit broadcast hint).
+    // 100 TB. The sig side is CORPUS-sized (one 64-long row per doc), so
+    // its joins carry `merge` hints: AQE's SMJ→SHJ conversion thresholds
+    // on COMPRESSED shuffle bytes, and at the 5 M-doc point its 32
+    // concurrent unspillable signature-map builds exhausted the executor
+    // pool (round-5 measurement; same mechanism as the lmScore model
+    // joins). A sort-merge join spills; auto-broadcast only ever applied
+    // below ~100 k docs (64 MB of signature rows), where everything is
+    // fast regardless — the hint costs nothing there.
     val agree = agreement("sa", "sb")
     val minAgree = math.max(0, math.ceil((tau - 0.25) * MinhashPerms).toInt)
     val cand = candRaw
-      .join(sig.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("b") === col("sb.doc_id"))
+      .join(sig.as("sa").hint("merge"), col("a") === col("sa.doc_id"))
+      .join(sig.as("sb").hint("merge"), col("b") === col("sb.doc_id"))
       .filter(agree >= minAgree)
       .select(col("a"), col("b"))
     verifyExactJaccard(ex, cand, sizes, tau)
@@ -598,7 +604,9 @@ object Dedup {
                                  sizes: DataFrame, tau: Double): DataFrame = {
     val candA = ex.join(cand, col("doc_id") === col("a"))
       .select(col("a"), col("b"), col("h"))
-    val inter = candA.join(ex.as("y"),
+    // the b-side shingle stream is corpus-sized → merge hint (spillable;
+    // the 5 M-doc SHJ-build lesson — see minhashLshPairs)
+    val inter = candA.join(ex.as("y").hint("merge"),
         col("y.doc_id") === col("b") && col("y.h") === candA("h"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
@@ -634,9 +642,11 @@ object Dedup {
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .dropDuplicates("a", "b")
     val minAgree = math.max(0, math.ceil((tau - 0.25) * MinhashPerms).toInt)
+    // corpus-sized sig/shingle sides carry merge hints (the 5 M-doc
+    // SHJ-build lesson — see minhashLshPairs)
     val cand = candRaw
-      .join(sigA.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sigB.as("sb"), col("b") === col("sb.doc_id"))
+      .join(sigA.as("sa").hint("merge"), col("a") === col("sa.doc_id"))
+      .join(sigB.as("sb").hint("merge"), col("b") === col("sb.doc_id"))
       .filter(agreement("sa", "sb") >= minAgree)
       .select(col("a"), col("b"))
     // sizes from both sides (doc_ids are disjoint across the corpora)
@@ -644,7 +654,7 @@ object Dedup {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val candA = exA.join(cand, col("doc_id") === col("a"))
       .select(col("a"), col("b"), col("h"))
-    val inter = candA.join(exB.as("y"),
+    val inter = candA.join(exB.as("y").hint("merge"),
         col("y.doc_id") === col("b") && col("y.h") === candA("h"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))

@@ -16,7 +16,12 @@ class PlanSpec extends AnyFunSuite {
 
   private def broadcastHints(df: DataFrame): Int =
     df.queryExecution.analyzed.collect {
-      case h: ResolvedHint if h.hints.strategy.isDefined => h
+      // count FORCED-BROADCAST hints only: round-5 added `merge` hints on
+      // corpus-scale sides (they force the SPILLABLE join — the opposite
+      // direction from the OOM hazard this guard exists for)
+      case h: ResolvedHint
+        if h.hints.strategy.contains(
+          org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
     }.size
 
   test("no broadcast() hint on any corpus-derived side (dedup family, star-join fact leg)") {
