@@ -3,6 +3,7 @@ package graft.operators
 import graft.Lineage.TruncateOps
 import graft.Tables
 import graft.functions.TextFunctions
+import graft.plans.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -719,6 +720,7 @@ object CorpusOps {
     */
   def dsirSelect(s: SparkSession, d: String, targetSource: String = "src0",
                  nBuckets: Int = 4096, topN: Int = 50): DataFrame = {
+    GraftFunctions.register(s)
     val ts = TextFunctions.tokens(col("text"))
     val occ = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), ts.as("ts"))
@@ -728,8 +730,11 @@ object CorpusOps {
           "transform(sequence(1, size(ts)-1), i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))"))
           .as("bg"))
       .select(col("doc_id"), col("source"),
-        (conv(substring(md5(col("bg")), 1, 6), 16, 10).cast("long") % nBuckets)
-          .as("b"))
+        // ONE hash per bigram OCCURRENCE — the plan's hottest loop, so the
+        // convention runs as the native Md5PrefixLong (bit-identical to
+        // conv(substring(md5(bg),1,6),16,10), spec-asserted; no hex
+        // string / substring / re-parse per row)
+        (GraftFunctions.md5Prefix(col("bg"), 6) % nBuckets).as("b"))
     // BOTH feature distributions in ONE corpus pass: per-bucket target
     // and pool occurrence counts as two conditional aggregates (the q22
     // shape) — the first cut aggregated target buckets, pool buckets and
@@ -889,13 +894,14 @@ object CorpusOps {
     * bit-identical across engines.
     */
   def weightedSample(s: SparkSession, d: String, n: Int = 100): DataFrame = {
+    GraftFunctions.register(s)
     val scored = stopwordPpm(s, d) // doc_id, n_tokens, score_ppm
     scored
       .select(col("doc_id"),
         (col("score_ppm") + lit(1L)).as("w_ppm"),
         // u ∈ (0, 1]: 24 md5 bits + 1 over 2^24 — never 0, so ln(u) is finite
-        ((conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
-          .cast("long") + lit(1L)) / lit(16777216.0)).as("u"))
+        ((GraftFunctions.md5Prefix(col("doc_id").cast("string"), 6)
+          + lit(1L)) / lit(16777216.0)).as("u"))
       .select(col("doc_id"), col("w_ppm"),
         round(log(col("u")) / col("w_ppm") * lit(1e9)).cast("long").as("key_e9"))
       .orderBy(col("key_e9").desc, col("doc_id"))
@@ -935,9 +941,14 @@ object CorpusOps {
     // when it doesn't.
     val bench = grams(docs.filter(col("source") === "src0"))
       .select(xxhash64(col("gram")).as("gh")).distinct()
+    // merge hint: this synthetic bench set is corpus-DERIVED (the src0
+    // slice), so it grows with the corpus and may not broadcast — and at
+    // the 5 M-doc point AQE's SHJ conversion OOM'd 32 concurrent builds
+    // of it. Sort-merge spills; a REAL benchmark set (thousands of eval
+    // docs) is tiny and its sort costs nothing.
     grams(docs.filter(col("source") =!= "src0"))
       .withColumn("gh", xxhash64(col("gram")))
-      .join(bench, "gh")
+      .join(bench.hint("merge"), "gh")
       .groupBy(col("doc_id"), col("gram"))
       .agg(min(col("pos")).as("first_pos"), count(lit(1)).as("n_occ"))
       .orderBy("doc_id", "gram")
@@ -959,9 +970,9 @@ object CorpusOps {
     */
   def shuffleShards(s: SparkSession, d: String, nShards: Int = 8,
                     epoch: Int = 0): DataFrame = {
-    val skey = conv(substring(
-      md5(concat_ws(":", lit(epoch), col("doc_id"))), 1, 12), 16, 10)
-      .cast("long")
+    GraftFunctions.register(s)
+    val skey = GraftFunctions.md5Prefix(
+      concat_ws(":", lit(epoch), col("doc_id")), 12)
     val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
     Tables.documents(s, d)
       .select(col("doc_id"), skey.as("skey"))

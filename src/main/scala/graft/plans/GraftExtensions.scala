@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.charMinhashDescriptor)
     ext.injectFunction(GraftFunctions.bloomAggDescriptor)
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
+    ext.injectFunction(GraftFunctions.md5PrefixDescriptor)
   }
 }
 
@@ -66,10 +67,16 @@ object GraftFunctions {
     (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1)))
 
+  private[plans] val md5PrefixDescriptor = (
+    new FunctionIdentifier("graft_md5_prefix"),
+    new ExpressionInfo(classOf[Md5PrefixLong].getName, "graft_md5_prefix"),
+    (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      Md5PrefixLong(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
     Seq(dotDescriptor, minhashDescriptor, charMinhashDescriptor,
-        bloomAggDescriptor, bloomContainsDescriptor).foreach { desc =>
+        bloomAggDescriptor, bloomContainsDescriptor, md5PrefixDescriptor).foreach { desc =>
       if (!spark.sessionState.functionRegistry.functionExists(desc._1)) {
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           desc._1.funcName, desc._3, "built-in")
@@ -108,4 +115,13 @@ object GraftFunctions {
     */
   def bloomContains(bloom: Column, h: Column): Column =
     call_function("graft_bloom_contains", bloom, h)
+
+  /** First-`hexChars`-hex-chars-of-md5 as a LONG (see [[Md5PrefixLong]]) —
+    * the cross-engine hash convention without the hex-string round trip.
+    * Requires register().
+    */
+  def md5Prefix(c: Column, hexChars: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_md5_prefix", c, lit(hexChars))
+  }
 }

@@ -104,4 +104,23 @@ class ShinglePropertySpec extends AnyFunSuite {
       assert(Dedup.signaturesRowLevelChar(docs, 5, 2).collect().length === 2)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
+
+  test("Md5PrefixLong ≡ conv(substring(md5(x),1,n),16,10) — and codegen compiles") {
+    import graft.plans.GraftFunctions
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    GraftFunctions.register(spark)
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = Seq("a", "hash merge window", "", "ünïcøde £", "x" * 500)
+        .toDF("t")
+      for (n <- Seq(1, 6, 12, 15)) {
+        val diff = rows.select(
+            GraftFunctions.md5Prefix(col("t"), n).as("native"),
+            conv(substring(md5(col("t")), 1, n), 16, 10).cast("long").as("chain"))
+          .filter(col("native") =!= col("chain"))
+        assert(diff.count() === 0L, s"mismatch at hexChars=$n")
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
 }
