@@ -497,7 +497,7 @@ object Dedup {
         else sigBase
     }
     val bands = bandsOf(sig)
-    val candRaw = bands.as("a").join(bands.as("b"),
+    val candRaw = bands.as("a").join(bands.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
@@ -550,7 +550,12 @@ object Dedup {
     // row-level signature instead of the shingle-table aggregation.
     val sig = sigOpt.getOrElse(signaturesOf(ex)).truncated
     val bands = bandsOf(sig)
-    val candRaw = bands.as("a").join(bands.as("b"),
+    // the band SELF-join is corpus-sized on both sides (16 band rows per
+    // doc) → merge hint, like every unbounded side (the 5 M-doc SHJ-build
+    // lesson). The persisted-index probe (LshIndex) keeps its own plan:
+    // its index side is BUCKETED, so it joins with zero exchange and no
+    // hash build at all.
+    val candRaw = bands.as("a").join(bands.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
@@ -637,7 +642,7 @@ object Dedup {
     val exB = if (matEx) shinglesOf(db).truncated else shinglesOf(db)
     val sigA = signaturesRowLevel(da).truncated
     val sigB = signaturesRowLevel(db).truncated
-    val candRaw = bandsOf(sigA).as("a").join(bandsOf(sigB).as("b"),
+    val candRaw = bandsOf(sigA).as("a").join(bandsOf(sigB).as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .dropDuplicates("a", "b")
