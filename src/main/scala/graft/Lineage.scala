@@ -39,6 +39,20 @@ object Lineage {
     def truncated: DataFrame = Lineage.truncate(df)
   }
 
+  /** Storage for the local (executor-resident) mode. Default
+    * MEMORY_AND_DISK_SER: serialized blocks are 3-5× smaller than the
+    * deserialized default, and the difference is the whole game when a
+    * corpus-sized intermediate (signatures, shingles) is truncated on a
+    * box where the unified region also feeds 32 concurrent sort/shuffle
+    * tasks — round 5 measured the deserialized form starving shuffle
+    * writers at the 5 M-doc point (`UNABLE_TO_ACQUIRE … got 0` inside
+    * ShuffleExternalSorter.spill). The cost is one ser/deser per
+    * consumer read — linear CPU, no cliff. `spark.graft.truncateStorage`
+    * overrides (any StorageLevel name, e.g. MEMORY_AND_DISK for the old
+    * behavior).
+    */
+  val StorageKey = "spark.graft.truncateStorage"
+
   def truncate(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption(ConfKey).filter(_.nonEmpty) match {
@@ -64,7 +78,10 @@ object Lineage {
           Option(new org.apache.hadoop.fs.Path(cd).getParent).map(qualified))
         if (!currentParent.contains(target)) sc.setCheckpointDir(dir)
         df.checkpoint(eager = true)
-      case None => df.localCheckpoint(eager = true)
+      case None =>
+        val level = org.apache.spark.storage.StorageLevel.fromString(
+          s.conf.get(StorageKey, "MEMORY_AND_DISK_SER"))
+        df.localCheckpoint(eager = true, storageLevel = level)
     }
   }
 }

@@ -263,18 +263,22 @@ object Dedup {
     * micro-batch.
     */
   private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-      .filter(length(col("t")) > 0)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    tok
-      .select(col("doc_id"), col("t"),
-        lead(col("t"), 1).over(w).as("t1"),
-        lead(col("t"), 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), xxhash64(col("t"), col("t1"), col("t2")).as("h"))
-      .distinct()
+    // ROW-LOCAL shingling: tokens → in-array 3-gram hashes →
+    // array_distinct → explode. Bit-identical to the original
+    // posexplode → per-doc lead-window → xxhash64 → global distinct
+    // (h is keyed by doc, so per-doc distinct ≡ (doc_id,h) distinct),
+    // but with ZERO exchanges where the window form shuffled AND sorted
+    // the full token stream and the distinct added a second exchange —
+    // per CONSUMER. At the 5 M-doc point those concurrent 150 M-row
+    // window sorts were the largest memory consumers in the q51/q115
+    // OOMs (round 5); in this form a shingle recompute is scan-speed.
+    val ts = filter(split(col("text"), " "), t => length(t) > 0)
+    docs
+      .select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(ts) - 2), i -> xxhash64(ts[i-1], ts[i], ts[i+1]))")))
+        .as("h"))
   }
 
   /** Exact n-gram Jaccard pairs ≥ τ. A raw shingle self-join costs
