@@ -27,13 +27,17 @@ object Dedup {
   def charNgramJaccard(s: SparkSession, d: String, tau: Double = 0.6): DataFrame = {
     val n = 5
     // stride-2 w-shingling: every 2nd gram position — half the shingle
-    // volume, same near-dup separation (dups share the strided set too)
+    // volume, same near-dup separation (dups share the strided set too).
+    // ROW-LOCAL like shinglesOf: in-array gram hashes → array_distinct →
+    // explode (h is doc-keyed, so per-doc distinct ≡ the old global
+    // `.distinct()`), removing the engine's largest distinct exchange —
+    // char-gram tables are the biggest exploded tables it builds. Reuse
+    // across consumers is the materializeShingles dial (minhashLshPairs).
     val ex = Tables.documents(s, d)
       .filter(length(col("text")) >= n)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (n - 1), lit(2))).as("i"))
-      .select(col("doc_id"), xxhash64(col("text").substr(col("i"), lit(n))).as("h"))
-      .distinct() // its exchange is the shared materialization barrier
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, length(text) - ${n - 1}, 2), i -> xxhash64(substring(text, i, $n)))")))
+        .as("h"))
     // signatures come row-local (CharGramMinhash, bit-identical to the
     // 64-min-agg over ex — spec-asserted); char-gram tables are the
     // largest exploded tables in the engine, so skipping their signature
@@ -310,9 +314,12 @@ object Dedup {
     */
   private def interAndSizes(s: SparkSession, d: String,
                             dfCap: Int): (DataFrame, DataFrame) = {
-    // ex's distinct-exchange is reused by every consumer below
-    // (ReusedExchange within the single action) — no eager checkpoint.
-    val ex = explodedShingles(s, d)
+    // Row-local shingling has no exchange to reuse across the four
+    // consumers below, so sharing is the materializeShingles dial's job:
+    // truncated (serialized blocks) while it fits, recomputed at
+    // scan-speed per consumer when it doesn't.
+    val exRaw = explodedShingles(s, d)
+    val ex = if (materializeShingles(s, d)) exRaw.truncated else exRaw
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // The effective cap is a corpus FRACTION, not an absolute df: df
     // grows with corpus size, so a fixed cap reclassifies ever more
