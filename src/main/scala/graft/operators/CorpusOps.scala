@@ -14,19 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  /** Bigram language-model counts: top-N adjacent-token pairs. Runs on
-    * the codegen path (posexplode → per-doc lead window → hash agg);
-    * the heavy shuffle keys on doc_id (bounded by doc length), the final
-    * one on the bigram (vocabulary², partial-agg'd map-side).
+  /** Bigram language-model counts: top-N adjacent-token pairs. ROW-LOCAL
+    * adjacency (in-array transform → explode — the shinglesOf shape): the
+    * first form's posexplode → per-doc lead WINDOW shuffled AND sorted
+    * the full token stream just to pair neighbors that were already
+    * adjacent in the array; now the only exchange is the partial-agg'd
+    * bigram hash agg (vocabulary-bounded).
     */
   def bigramCounts(s: SparkSession, d: String, topN: Int = 100): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-      .filter(length(col("t")) > 0)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    tok
-      .select(col("doc_id"), col("t").as("w1"), lead(col("t"), 1).over(w).as("w2"))
-      .filter(col("w2").isNotNull)
+    val ts = filter(split(col("text"), " "), t => length(t) > 0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))"))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w1"), col("w2"))
@@ -338,15 +341,18 @@ object CorpusOps {
     * back, one per-doc agg. Every stage is linear in corpus size.
     */
   def lmScore(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-      .filter(length(col("t")) > 0)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bi = tok
-      .select(col("doc_id"), col("t"), lead(col("t"), 1).over(w).as("t1"))
-      .filter(col("t1").isNotNull)
-      .select(col("doc_id"), xxhash64(col("t")).as("h1"),
-        xxhash64(col("t"), col("t1")).as("h2"))
+    // ROW-LOCAL bigram stream (the shinglesOf shape): the first form's
+    // posexplode → per-doc lead WINDOW shuffled and sorted the whole
+    // token stream before any model work — at the 5 M-doc point that
+    // sort was a co-lead cost of every lm-family query (q81/q120/q121).
+    val ts = filter(split(col("text"), " "), t => length(t) > 0)
+    val bi = Tables.documents(s, d)
+      .select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(xxhash64(ts[i-1]) AS h1, xxhash64(ts[i-1], ts[i]) AS h2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.h1").as("h1"), col("b.h2").as("h2"))
     val pairFreq = bi.groupBy(col("h2")).agg(count(lit(1)).as("c2"))
     val leftFreq = bi.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
     // The frequency tables grow with the VOCABULARY (the synthetic scale
