@@ -395,15 +395,22 @@ object CorpusOps {
   def trigramScore(s: SparkSession, d: String,
                    refSources: Seq[String] = (0 to 4).map(i => s"src$i"),
                    alphaPct: Int = 40): DataFrame = {
-    val tok = Tables.documents(s, d)
+    // ROW-LOCAL n-gram streams (the shinglesOf shape — the lead-window
+    // form shuffled and sorted the token stream; see lmScore)
+    val ts = filter(split(col("text"), " "), t => length(t) > 0)
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), ts.as("ts"))
+    val bi = base.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS t, ts[i] AS t1))"))
+        .as("b"))
+      .select(col("doc_id"), col("source"), col("b.t").as("t"), col("b.t1").as("t1"))
+    val tri = base.filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(ts) - 2), i -> struct(ts[i-1] AS t, ts[i] AS t1, ts[i+1] AS t2))"))
+        .as("b"))
       .select(col("doc_id"), col("source"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-      .filter(length(col("t")) > 0)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val led = tok.select(col("doc_id"), col("source"), col("t"),
-      lead(col("t"), 1).over(w).as("t1"), lead(col("t"), 2).over(w).as("t2"))
-    val bi = led.filter(col("t1").isNotNull)
-    val tri = led.filter(col("t2").isNotNull)
+        col("b.t").as("t"), col("b.t1").as("t1"), col("b.t2").as("t2"))
     val isRef = col("source").isin(refSources: _*)
     val rt = tri.filter(isRef)
       .groupBy(xxhash64(col("t"), col("t1"), col("t2")).as("h123"))
