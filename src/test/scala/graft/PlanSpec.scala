@@ -133,4 +133,25 @@ class PlanSpec extends AnyFunSuite {
       j.right.collectFirst { case a: Aggregate => a }.nonEmpty
     }, "levenshtein join must take distinct-name aggregates on both inputs")
   }
+
+  test("n-gram adjacency is row-local: no Window in any de-windowed pipeline") {
+    // Round 5 removed every posexplode → per-doc lead-window adjacency
+    // recovery (a shuffle AND sort of the full token stream) in favor of
+    // in-array transforms. A Window reappearing in these plans is the
+    // regression this guard exists for. (q111/q121 keep windows BY
+    // DESIGN — they run over model-sized value histograms, not the
+    // corpus.)
+    import graft.operators.{CorpusOps, Dedup}
+    val deWindowed = Seq(
+      "q46" -> CorpusOps.bigramCounts(spark, sf),
+      "q81" -> CorpusOps.lmScore(spark, sf),
+      "q86" -> CorpusOps.trigramScore(spark, sf),
+      "q51" -> Dedup.minhashLsh(spark, sf),
+      "q57" -> Dedup.charNgramJaccard(spark, sf))
+    deWindowed.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name regrew a window over the corpus:\n$plan")
+    }
+  }
 }
