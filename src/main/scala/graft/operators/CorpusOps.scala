@@ -85,17 +85,17 @@ object CorpusOps {
     * xxhash64 over the n tokens (the codegen shingling path).
     */
   private[graft] def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-      .filter(length(col("t")) > 0)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until n).map(i => lead(col("t"), i).over(w).as(s"t$i"))
-    tok
-      .select(col("doc_id") +: col("t") +: leads: _*)
-      .filter(col(s"t${n - 1}").isNotNull)
-      .select(col("doc_id"),
-        xxhash64(col("t") +: (1 until n).map(i => col(s"t$i")): _*).as("h"))
-      .distinct()
+    // row-local in-array n-gram hashing (the shinglesOf shape; the old
+    // lead-window form shuffled and sorted the token stream per call —
+    // h is doc-keyed, so per-doc array_distinct ≡ the old global distinct)
+    val ts = filter(split(col("text"), " "), t => length(t) > 0)
+    val args = (0 until n).map(i => s"ts[i+$i]").mkString(", ")
+    docs
+      .select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(ts) - $n), i -> xxhash64($args))")))
+        .as("h"))
   }
 
   /** Intra-document repetition score (the "repetitive text" quality
@@ -104,19 +104,23 @@ object CorpusOps {
     * partition.
     */
   def repetition(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-      .filter(length(col("t")) > 0)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    tok
-      .select(col("doc_id"), col("t"),
-        lead(col("t"), 1).over(w).as("t1"), lead(col("t"), 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), xxhash64(col("t"), col("t1"), col("t2")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), count_distinct(col("h")).as("n_distinct"))
-      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 4).as("dup_frac"))
+    // fully ROW-LOCAL (round-5 de-windowing): the trigram stream, its
+    // count AND its distinct count all live inside the document's own
+    // array — the old explode → lead window → groupBy shuffled the token
+    // stream twice to compute a per-row scalar. Zero exchanges beyond
+    // the presentation orderBy.
+    val ts = filter(split(col("text"), " "), t => length(t) > 0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, size(ts) - 3), i -> xxhash64(ts[i], ts[i+1], ts[i+2]))")
+        .as("hs"))
+      .select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_grams"),
+        size(array_distinct(col("hs"))).cast("long").as("n_distinct"))
+      .withColumn("dup_frac",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 4))
       .orderBy("doc_id")
   }
 
@@ -152,17 +156,21 @@ object CorpusOps {
     * per-doc sort_array over collect_list — per-doc state, never global.
     */
   def duplicateSpans(s: SparkSession, d: String, n: Int = 10): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-      .filter(length(col("t")) > 0)
-      .withColumn("rn", row_number().over(w))
-    val leads = (1 until n).map(i => lead(col("t"), i).over(w).as(s"t$i"))
-    val grams = tok
-      .select(col("doc_id") +: col("rn") +: col("t") +: leads: _*)
-      .filter(col(s"t${n - 1}").isNotNull)
-      .select(col("doc_id"), col("rn"),
-        xxhash64(col("t") +: (1 until n).map(i => col(s"t$i")): _*).as("h"))
+    // row-local positions AND grams (round-5 de-windowing): posexplode
+    // over the filtered token ARRAY yields the same 1-based rn the old
+    // row_number window computed — after shuffling and sorting the token
+    // stream; gram rn = its first token's array position + 1.
+    val ts = filter(split(col("text"), " "), t => length(t) > 0)
+    val base = Tables.documents(s, d).select(col("doc_id"), ts.as("ts"))
+    val tok = base
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("p", "t")))
+      .select(col("doc_id"), (col("p") + 1).as("rn"), col("t"))
+    val args = (0 until n).map(i => s"ts[i+$i]").mkString(", ")
+    val grams = base.filter(size(col("ts")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ts) - $n), i -> xxhash64($args))"))
+        .as(Seq("p", "h")))
+      .select(col("doc_id"), (col("p") + 1).as("rn"), col("h"))
     val dupH = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("h"))
     val covered = grams.join(dupH, "h")
@@ -257,14 +265,14 @@ object CorpusOps {
     * everything partial-aggregates map-side.
     */
   def novelty(s: SparkSession, d: String, rareMax: Long = 2): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-      .filter(length(col("t")) > 0)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bi = tok
-      .select(col("doc_id"), col("t"), lead(col("t"), 1).over(w).as("t1"))
-      .filter(col("t1").isNotNull)
-      .select(col("doc_id"), xxhash64(col("t"), col("t1")).as("h"))
+    // row-local bigram stream (round-5 de-windowing; see lmScore)
+    val ts = filter(split(col("text"), " "), t => length(t) > 0)
+    val bi = Tables.documents(s, d)
+      .select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> xxhash64(ts[i-1], ts[i]))"))
+        .as("h"))
     val freq = bi.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
     bi.join(freq, "h")
       .groupBy(col("doc_id"))

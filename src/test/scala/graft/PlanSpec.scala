@@ -147,7 +147,11 @@ class PlanSpec extends AnyFunSuite {
       "q81" -> CorpusOps.lmScore(spark, sf),
       "q86" -> CorpusOps.trigramScore(spark, sf),
       "q51" -> Dedup.minhashLsh(spark, sf),
-      "q57" -> Dedup.charNgramJaccard(spark, sf))
+      "q57" -> Dedup.charNgramJaccard(spark, sf),
+      "q49" -> CorpusOps.repetition(spark, sf),
+      "q59" -> CorpusOps.decontaminate(spark, sf),
+      "q69" -> CorpusOps.duplicateSpans(spark, sf),
+      "q74" -> CorpusOps.novelty(spark, sf))
     deWindowed.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Window"),
