@@ -53,6 +53,23 @@ object Lineage {
     */
   val StorageKey = "spark.graft.truncateStorage"
 
+  /** As [[truncate]], but with an explicit local-mode storage level —
+    * for CORPUS-sized intermediates that are written once and read a
+    * bounded number of times (PrefixSum's frozen range partitioning),
+    * where any memory-backed level leaves data-sized blocks competing
+    * with the heap: DISK_ONLY puts them on executor-local disk, the
+    * medium actually sized for them. Reliable-checkpoint mode is
+    * unchanged (it already writes to the checkpoint filesystem).
+    */
+  def truncateTo(df: DataFrame,
+                 level: org.apache.spark.storage.StorageLevel): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption(ConfKey).filter(_.nonEmpty) match {
+      case Some(_) => truncate(df)
+      case None => df.localCheckpoint(eager = true, storageLevel = level)
+    }
+  }
+
   def truncate(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption(ConfKey).filter(_.nonEmpty) match {

@@ -56,13 +56,21 @@ object PrefixSum {
       .withColumn(vcol, coalesce(value.cast("long"), lit(0L)))
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
-      .truncated
+    // freeze the SAMPLED range boundaries (repartitionByRange draws a
+    // fresh sample per execution — the two passes below must see one
+    // partitioning) on executor-local DISK: this is a corpus-sized
+    // write-once/read-twice intermediate, and any memory-backed level
+    // leaves data-sized blocks fighting the heap — measured at 50 M
+    // docs as rep 2's parquet readers OOMing while rep 1's blocks
+    // awaited cleanup (round 5).
+    val frozen = graft.Lineage.truncateTo(ranged,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
     // Pass 1: per-partition totals. mapPartitionsWithIndex (not a
     // groupBy(spark_partition_id)) so the index used here is BY
     // CONSTRUCTION the same one TaskContext reports in pass 2.
-    val vi = ranged.schema.fieldIndex(vcol)
-    val partTotals: Map[Int, Long] = ranged
+    val vi = frozen.schema.fieldIndex(vcol)
+    val partTotals: Map[Int, Long] = frozen
       .select(col(vcol))
       .rdd
       .mapPartitionsWithIndex { (i, it) =>
@@ -82,10 +90,10 @@ object PrefixSum {
 
     // Pass 2: seed each partition with its exclusive offset, scan.
     val outSchema = StructType(
-      ranged.schema.fields.filterNot(_.name == vcol) :+
+      frozen.schema.fields.filterNot(_.name == vcol) :+
         StructField(out, LongType, nullable = false))
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    ranged.mapPartitions { it =>
+    frozen.mapPartitions { it =>
       var run = bco.value(TaskContext.getPartitionId())
       it.map { r =>
         run += r.getLong(vi)
