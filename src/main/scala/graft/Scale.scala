@@ -71,9 +71,20 @@ object Scale {
         (t.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
       case None => java.nio.file.Files.deleteIfExists(marker)
     }
+    // The REPLICA axis must be the parallel (stream) side: both crossJoin
+    // inputs are tiny at source scale, and the planner broadcasts the
+    // smaller-by-bytes range side, leaving the 1-split source scan as the
+    // stream — ONE task then generates (and parquet-encodes) the whole
+    // factor× output no matter what the writer asks for (found twice this
+    // round as 10 GB single-file outputs with SPARK_GRAFT_SCALE_MULTI=1).
+    // Repartitioning the replicas and broadcasting the source table pins
+    // the roles: `factor`-way parallel generation, one output file per
+    // task in multi-file mode. (Source tables are bounded by the SOURCE
+    // scale factor — broadcastable by construction.)
     val reps = s.range(factor.toLong).select(col("id").cast("int").as("rep"))
+      .repartition(math.min(factor, 256))
     def replicated(name: String): DataFrame =
-      Tables(s, src, name).crossJoin(reps)
+      reps.crossJoin(broadcast(Tables(s, src, name)))
     def off(c: String): org.apache.spark.sql.Column =
       col(c) + col("rep") * IdOffset
 
