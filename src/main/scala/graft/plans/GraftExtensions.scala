@@ -24,6 +24,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  /** Resolve a function argument that must be a foldable integral constant
+    * (e.g. `graft_md5_prefix(c, 15)`'s hex-char count). A BIGINT literal,
+    * an int-valued expression tree, or a non-foldable column each get a
+    * clean analysis-time error naming the function and argument instead of
+    * a ClassCastException from a blind `asInstanceOf[Int]` (ADVICE r5).
+    */
+  private def foldableInt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, arg: String): Int = {
+    def fail(what: String): Nothing = throw new IllegalArgumentException(
+      s"$fn: argument <$arg> must be a foldable integer constant, got $what: ${e.sql}")
+    if (!e.foldable) fail("a non-foldable expression")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case s: java.lang.Short   => s.intValue()
+      case b: java.lang.Byte    => b.intValue()
+      case l: java.lang.Long if l.longValue().isValidInt => l.intValue()
+      case null => fail("NULL")
+      case other => fail(s"a ${other.getClass.getSimpleName}")
+    }
+  }
+
   private[plans] val dotDescriptor = (
     new FunctionIdentifier("graft_dot"),
     new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
@@ -41,7 +63,8 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CharGramMinhash].getName, "graft_char_minhash"),
     (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
       CharGramMinhash(exprs.head,
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
+        foldableInt(exprs(1), "graft_char_minhash", "n"),
+        foldableInt(exprs(2), "graft_char_minhash", "stride")))
 
   /** Spark's own Bloom-filter aggregate (the sketch behind runtime join
     * filters), surfaced as a library function: builds a serialized Bloom
@@ -71,7 +94,7 @@ object GraftFunctions {
     new FunctionIdentifier("graft_md5_prefix"),
     new ExpressionInfo(classOf[Md5PrefixLong].getName, "graft_md5_prefix"),
     (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-      Md5PrefixLong(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+      Md5PrefixLong(exprs(0), foldableInt(exprs(1), "graft_md5_prefix", "hexChars")))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

@@ -30,7 +30,11 @@ object LshDiag {
     val top = hist.limit(30).collect()
     println("[diag] top bucket sizes (n, buckets):")
     top.foreach(r => println(s"[diag]   n=${r.getLong(0)} buckets=${r.getLong(1)}"))
-    val pairs = hist.select(sum(col("n") * (col("n") - 1) / 2 * col("buckets")).cast("long")).collect()(0).getLong(0)
+    // coalesce: with no bucket >1 member, hist is empty and sum() is NULL —
+    // report 0 candidate pairs instead of NPE-ing on getLong (ADVICE r5).
+    val pairs = hist.select(coalesce(
+      sum(col("n") * (col("n") - 1) / 2 * col("buckets")), lit(0)).cast("long"))
+      .collect()(0).getLong(0)
     println(s"[diag] raw candidate pairs (pre-dedup) = $pairs")
     s.stop()
   }

@@ -152,10 +152,24 @@ class PlanSpec extends AnyFunSuite {
       "q59" -> CorpusOps.decontaminate(spark, sf),
       "q69" -> CorpusOps.duplicateSpans(spark, sf),
       "q74" -> CorpusOps.novelty(spark, sf))
+    // Collect physical WindowExec nodes rather than grepping the plan
+    // string (ADVICE r5): an optimizer node like WindowGroupLimit would
+    // false-trip a substring check, and plan-string truncation
+    // (spark.sql.maxPlanStringLength) could hide a real Window. Recurse
+    // into AQE wrappers — collect() does not traverse them.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windowNodes(p: SparkPlan): Seq[SparkPlan] =
+      p.collect {
+        case w: WindowExec => Seq(w: SparkPlan)
+        case a: AdaptiveSparkPlanExec => windowNodes(a.executedPlan)
+      }.flatten
     deWindowed.foreach { case (name, df) =>
-      val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("Window"),
-        s"$name regrew a window over the corpus:\n$plan")
+      val ws = windowNodes(df.queryExecution.executedPlan)
+      assert(ws.isEmpty,
+        s"$name regrew a window over the corpus: ${ws.map(_.nodeName).mkString(", ")}\n" +
+          df.queryExecution.executedPlan.toString)
     }
   }
 }
