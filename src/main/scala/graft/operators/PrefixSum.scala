@@ -86,6 +86,8 @@ object PrefixSum {
       offsets(i) = acc
       acc += partTotals.getOrElse(i, 0L)
     }
+    // broadcast is provably bounded: one Long per PARTITION (the driver
+    // exclusive-scan result), never per row — ~8 KB at 1000 partitions.
     val bco = s.sparkContext.broadcast(offsets)
 
     // Pass 2: seed each partition with its exclusive offset, scan.

@@ -22,6 +22,8 @@ object Similarity {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qv"), GraftFunctions.norm(col("embedding")).as("qn"))
+    // broadcast is provably bounded: q is ONE row (equality filter on the
+    // primary key) — never corpus-derived, at any corpus size.
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), round(
@@ -385,6 +387,9 @@ object Similarity {
     val cb = codebook.zipWithIndex
       .map { case (c, j) => (j, c.toSeq, c.map(x => x * x).sum) }.toSeq
       .toDF("cl", "c", "c2")
+    // broadcast is provably bounded: cb is the CODEBOOK (k cells × dim
+    // doubles, already materialized on the driver as `codebook`) — its
+    // size is a model hyperparameter, independent of corpus size.
     e.crossJoin(broadcast(cb))
       .select(col("vec_id"), col("embedding"),
         struct((GraftFunctions.dot(col("embedding"), col("c")) * -2.0 + col("c2"))

@@ -217,10 +217,14 @@ object TextAnalysis {
     for (i <- 0 until depth) {
       val gi = grid.filter(col("dep") === i)
         .select(col("bk").as(s"bk$i"), col("c").as(s"c$i"))
+      // broadcast is provably bounded: gi is one CMS row per bucket —
+      // ≤ `width` rows by construction (a sketch hyperparameter), never
+      // corpus-sized however many tokens hash into it.
       est = est.withColumn(s"bk$i", bucket(i)).join(broadcast(gi), s"bk$i")
     }
     est
       .withColumn("est", least((0 until depth).map(i => col(s"c$i")): _*))
+      // thr is a 1-row global aggregate (the q44 convention)
       .join(broadcast(thr))
       .filter(col("est") >= col("thr"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"), first(col("thr")).as("t"))

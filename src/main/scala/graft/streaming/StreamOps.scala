@@ -309,6 +309,9 @@ object StreamOps {
     * enrichment — the dim snapshot replaces the HTTP fetch).
     */
   def streamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    // broadcast is provably bounded: customer is a DIMENSION table
+    // (grows with tenants, not with the event stream) — the class the
+    // forced-hint convention reserves the hint for.
     val dim = broadcast(graft.Tables.customer(s, d))
     val agg = eventsStream(s, d)
       .join(dim, col("user_id") === col("c_custkey"))

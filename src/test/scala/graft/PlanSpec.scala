@@ -48,6 +48,40 @@ class PlanSpec extends AnyFunSuite {
       "orders (a fact table) must not carry a broadcast hint")
   }
 
+  test("every forced broadcast() site is on the reviewed bounded-side allowlist") {
+    // The q64s driver-OOM (round 4) came from a forced broadcast on a
+    // side that LOOKED bounded but was corpus-derived. This guard greps
+    // the source for broadcast( call sites (comments excluded) and pins
+    // the per-file count to a reviewed allowlist — a NEW site fails here
+    // until someone reviews its boundedness proof (each allowed site
+    // carries a "provably bounded" comment in source) and bumps the map.
+    val allow = Map(
+      "Scale.scala"        -> 2, // data generator: replicates bounded sf0.1 base tables
+      "PrefixSum.scala"    -> 1, // one Long per partition (driver exclusive scan)
+      "StreamOps.scala"    -> 1, // customer dimension snapshot
+      "Relational.scala"   -> 6, // region/nation/customer dims (≤1 GB at any SF)
+      "TextAnalysis.scala" -> 2, // CMS grid (≤width rows) + 1-row threshold
+      "CorpusOps.scala"    -> 1, // 1-row budget aggregate (q44 convention)
+      "Similarity.scala"   -> 2) // 1-row query vector + model-sized codebook
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val found = scala.collection.mutable.Map.empty[String, Int]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val hits = scala.io.Source.fromFile(p.toFile, "UTF-8").getLines()
+          .map(_.trim)
+          .count(l => l.contains("broadcast(") &&
+            !l.startsWith("//") && !l.startsWith("*") && !l.startsWith("/*"))
+        if (hits > 0) found(p.getFileName.toString) = hits
+      }
+    }
+    assert(found.toMap === allow,
+      s"forced-broadcast sites drifted from the reviewed allowlist.\n" +
+        s"found: ${found.toMap}\nallow: $allow\n" +
+        "If you added a site: prove the side is bounded (model-sized, " +
+        "1-row aggregate, or a dimension), comment it in source, and " +
+        "update the allowlist. Corpus-derived sides must NOT be hinted.")
+  }
+
   test("AQE still broadcasts the de-hinted anti-joins at test SF") {
     val df = Pipeline.trainingCorpus(spark, sf)
     df.count() // drive AQE to final physical plan
