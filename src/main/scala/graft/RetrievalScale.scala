@@ -55,6 +55,10 @@ object RetrievalScale {
     println(s"[retrieval-scale] postings files fresh = ${postingsFiles()}")
     probe("fresh")
 
+    // nAppends=0 → build + probe only (the 50 M-doc "probe latency vs
+    // corpus size" point, where a full compact rewrite would just
+    // re-measure the build).
+    if (nAppends == 0) { s.stop(); return }
     (1 to nAppends).foreach { i =>
       // shift ids far past any real doc_id so the batch is uncommitted
       val batch = Tables.documents(s, dir)

@@ -1,0 +1,30 @@
+#!/bin/bash
+# Round-6 50M-doc (10000x) campaign for the lm-pass/selection heavies
+# (VERDICT r5 ask #1). One JVM per query (the round-5 measurement-hygiene
+# rule), REPEAT=2 (steady = rep 2), tmpfs scratch, family-sized threads:
+# the exact-verification family runs local[16] per the 3 GB/core bound.
+set -u
+DIR=${1:-target/sf1000_docs}
+OUT=${2:-/root/repo/bench/campaign_r6_50m.log}
+SCRATCH=/dev/shm/graft_scratch
+cd /root/repo
+
+run_one() { # name cpus mem
+  local q=$1 cpus=$2 mem=$3
+  rm -rf "$SCRATCH"; mkdir -p "$SCRATCH"
+  echo "=== $q (local[$cpus], $mem, $DIR) $(date +%H:%M:%S) ===" >> "$OUT"
+  SPARK_GRAFT_REPEAT=2 SPARK_GRAFT_SF_DIR="$DIR" SPARK_GRAFT_CPUS=$cpus \
+    SPARK_DRIVER_MEM=$mem SPARK_GRAFT_LOCAL_DIR="$SCRATCH" \
+    timeout 5400 sbt -batch "runMain graft.Bench $q" 2>&1 \
+    | grep -aE '"metric"|PRE-PASS|FAILED' >> "$OUT"
+  echo "=== $q done $(date +%H:%M:%S), disk: $(df -h / | tail -1 | awk '{print $4}') free ===" >> "$OUT"
+}
+
+: > "$OUT"
+run_one q110_boilerplate_strip 16 48g
+run_one q114_dsir_select        32 48g
+run_one q118_contamination_spans 32 48g
+run_one q121_ccnet_buckets      32 48g
+run_one q120_doremi_mix         32 48g
+rm -rf "$SCRATCH"
+echo "campaign done $(date)" >> "$OUT"
