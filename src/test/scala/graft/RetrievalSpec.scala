@@ -160,6 +160,62 @@ class RetrievalSpec extends AnyFunSuite {
     assert(probeRows(d) == ref)
   }
 
+  test("reattach: a complete index surviving catalog loss is re-registered, not rebuilt") {
+    val d = stageDir(corpus100)
+    Retrieval.buildIndex(spark, d)
+    Retrieval.append(spark, batch(9400L to 9404L), d)
+    val before = probeRows(d)
+    // Simulate a JVM restart: the in-memory catalog forgets the tables
+    // but their warehouse dirs survive. DROP on these MANAGED tables
+    // deletes data, so stash the dirs aside and restore them after.
+    val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val stash = java.nio.file.Files.createTempDirectory("graft_invidx_stash")
+    def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      val walk = java.nio.file.Files.walk(from)
+      try walk.forEach { p =>
+        val q = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(q)
+        else java.nio.file.Files.copy(p, q)
+      } finally walk.close()
+    }
+    val kinds = Seq("postings", "stats", "committed")
+    kinds.foreach(k => copyDir(
+      java.nio.file.Paths.get(wh, Retrieval.tbl(k, d)),
+      stash.resolve(Retrieval.tbl(k, d))))
+    kinds.foreach(k => spark.sql(s"DROP TABLE `${Retrieval.tbl(k, d)}`"))
+    kinds.foreach(k => copyDir(
+      stash.resolve(Retrieval.tbl(k, d)),
+      java.nio.file.Paths.get(wh, Retrieval.tbl(k, d))))
+    // The probe must REATTACH: a rebuild would re-derive the index from
+    // the corpus dir alone and LOSE the appended batch — identical
+    // probe output (appended docs included) proves no rebuild happened.
+    assert(probeRows(d) == before)
+    kinds.foreach { k =>
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(Retrieval.tbl(k, d)))
+      assert(meta.tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
+    }
+    // Bucket pruning survives reattachment (the DDL mirrors the layout;
+    // assert on the real probe plan — a bare filter+count would let
+    // DisableUnnecessaryBucketedScan turn the bucketed scan off).
+    val plan = Retrieval.bm25Indexed(spark, d)
+      .queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in reattached plan:\n$plan")
+    assert(m.get.group(1).toInt <= Retrieval.DefaultTerms.size)
+    // Append and compact still work on the reattached EXTERNAL tables
+    // (compact's DROP leaves an external dir behind — the staging
+    // rename must clear it instead of colliding).
+    val b2 = batch(9410L to 9414L)
+    Retrieval.append(spark, b2, d)
+    Retrieval.compact(spark, d)
+    val ref = Retrieval.bm25(
+      spark, stageDir(corpus100.union(batch(9400L to 9404L)).union(b2)))
+      .as[(Long, Double)].collect().toSeq
+    assert(probeRows(d) == ref)
+  }
+
   test("compact: fewer posting files, identical probe, crash-window retry still safe across it") {
     val d = stageDir(corpus100)
     Retrieval.buildIndex(spark, d)
