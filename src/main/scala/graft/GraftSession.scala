@@ -17,8 +17,14 @@ object GraftSession {
     // files to local NVMe; this sandbox's default /tmp sits on the same
     // virtio disk as the data. SPARK_GRAFT_LOCAL_DIR (e.g. a tmpfs)
     // separates the two for scale measurements.
+    // Comma-separated dirs stripe shuffle blocks across media (Spark's
+    // native spark.local.dir list form) — the one-box stand-in for
+    // multiple NVMe volumes, and the escape hatch when a single tmpfs
+    // can't hold a 50 M-doc shuffle next to the heap (q118's 10 000×
+    // point OOM-killed the JVM on tmpfs-only scratch, round 6).
     sys.env.get("SPARK_GRAFT_LOCAL_DIR").foreach { p =>
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      p.split(',').map(_.trim).filter(_.nonEmpty).foreach(d =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
       b.config("spark.local.dir", p)
     }
     b
