@@ -952,24 +952,37 @@ object CorpusOps {
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(ts) - $n), i -> concat_ws(' ', slice(ts, i + 1, $n)))"))
         .as(Seq("pos", "gram")))
-    // Membership joins on the 8-byte gram HASH (the q59 convention) —
-    // the gram TEXT the report needs rides the POOL side only. The first
+    // gram text is hashed away BEFORE any exchange: (doc_id, pos, gh) is
+    // ~26 bytes/row vs ~90 with the ~60-byte gram string, and the merge
+    // join's sort spill carries the same ratio. The first cut shuffled
+    // the text (it rode along "for the report") — at the 50 M-doc point
+    // that exchange + its sort spill exceeded 119 GB of scratch and died
+    // on ENOSPC (round-6 measurement). The report's text is recovered in
+    // pass B below, over matched docs only.
+    def gramHashes(df: DataFrame): DataFrame = grams(df)
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
+    // Membership on the 8-byte gram HASH (the q59 convention). The first
     // cut joined on the STRING: at the 5 M-doc point the bench gram set
-    // (~60-byte strings) exceeded auto-broadcast, and AQE's SMJ→SHJ
-    // conversion built 32 concurrent unspillable string-keyed maps —
-    // executor OOM (round-5 measurement). As hashes the same set is
-    // 8 bytes/row: broadcast while it fits, compact spill-safe build
-    // when it doesn't.
-    val bench = grams(docs.filter(col("source") === "src0"))
-      .select(xxhash64(col("gram")).as("gh")).distinct()
-    // merge hint: this synthetic bench set is corpus-DERIVED (the src0
-    // slice), so it grows with the corpus and may not broadcast — and at
-    // the 5 M-doc point AQE's SHJ conversion OOM'd 32 concurrent builds
-    // of it. Sort-merge spills; a REAL benchmark set (thousands of eval
-    // docs) is tiny and its sort costs nothing.
-    grams(docs.filter(col("source") =!= "src0"))
-      .withColumn("gh", xxhash64(col("gram")))
-      .join(bench.hint("merge"), "gh")
+    // exceeded auto-broadcast, and AQE's SMJ→SHJ conversion built 32
+    // concurrent unspillable string-keyed maps — executor OOM (round-5
+    // measurement). merge hint: this synthetic bench set is
+    // corpus-DERIVED (the src0 slice), so it grows with the corpus and
+    // may not broadcast. Sort-merge spills; a REAL benchmark set
+    // (thousands of eval docs) is tiny and its sort costs nothing.
+    val bench = gramHashes(docs.filter(col("source") === "src0"))
+      .select(col("gh")).distinct()
+    val pool = docs.filter(col("source") =!= "src0")
+    // Pass A: which (doc, position) spans are contaminated — the only
+    // corpus-sized exchange, hashes + coordinates, never text.
+    val hits = gramHashes(pool).join(bench.hint("merge"), "gh")
+      .select(col("doc_id"), col("pos"))
+    // Pass B: re-extract grams for the CONTAMINATED docs only (the
+    // semi-join set is contamination-sized — AQE broadcasts it from
+    // measured size) and attach text by (doc, position): exact, and
+    // every shuffle here is hit-set-sized.
+    val hitDocs = hits.select(col("doc_id")).distinct()
+    grams(pool.join(hitDocs, Seq("doc_id"), "left_semi"))
+      .join(hits, Seq("doc_id", "pos"))
       .groupBy(col("doc_id"), col("gram"))
       .agg(min(col("pos")).as("first_pos"), count(lit(1)).as("n_occ"))
       .orderBy("doc_id", "gram")
