@@ -86,9 +86,14 @@ object Bench {
       graft.operators.LshIndex.buildIndex(spark, sfDir) }
     // And the inverted index (q113b): building term-bucketed postings is
     // write-once offline layout work — the timed number is the pruned
-    // keyword probe, the operation a retrieval deployment repeats.
+    // keyword probe, the operation a retrieval deployment repeats. The
+    // registry-contract validation (corpus-equivalence at reattach, the
+    // round-6 q113b fix) runs here untimed for the same reason, and so
+    // does compact-right-after-build — the round-6 lifecycle finding
+    // (7-9× probe cut; one file per bucket instead of tasks×buckets).
     prepass("inverted_index", picked("q113b_bm25_indexed")) {
-      graft.operators.Retrieval.buildIndex(spark, sfDir) }
+      graft.operators.Retrieval.ensureCorpusExact(spark, sfDir)
+      graft.operators.Retrieval.compact(spark, sfDir) }
     // And the persisted IVF index + codebook: training the codebook and
     // laying out the cell-partitioned vectors is the same offline work
     // (the q76c stance). Seeding it here also hands q76/q76b their

@@ -23,4 +23,37 @@ object DirKeys {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest((canonical(d) +: salt).mkString("|").getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
+
+  /** Freshness stamp of a source data file or parquet directory: an
+    * order-insensitive digest of every regular file's relative name,
+    * size and mtime (or size_mtime for a plain file). Every persisted
+    * artifact NAMESPACE derived from a source table folds this into its
+    * [[digest]] salt — the Similarity-codebook convention applied
+    * uniformly — so a REGENERATED testdata dir (the driver does this
+    * between rounds) rolls the artifact key instead of silently
+    * reattaching an index built over the old rows. Recomputed on every
+    * call (never JVM-cached): a live session must observe the roll too,
+    * the round-4 codebook lesson.
+    */
+  def contentStamp(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    try {
+      if (java.nio.file.Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(p)
+        val parts =
+          try walk.iterator().asScala
+            .filter(f => java.nio.file.Files.isRegularFile(f))
+            .map(f => s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:" +
+              s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+            .toSeq.sorted
+          finally walk.close()
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(parts.mkString("\n").getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString
+      } else
+        s"${java.nio.file.Files.size(p)}_" +
+          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    } catch { case _: java.io.IOException => "nofile" }
+  }
 }

@@ -22,10 +22,15 @@ object GraftSession {
     // multiple NVMe volumes, and the escape hatch when a single tmpfs
     // can't hold a 50 M-doc shuffle next to the heap (q118's 10 000×
     // point OOM-killed the JVM on tmpfs-only scratch, round 6).
-    sys.env.get("SPARK_GRAFT_LOCAL_DIR").foreach { p =>
-      p.split(',').map(_.trim).filter(_.nonEmpty).foreach(d =>
+    // Normalize ONCE and hand Spark the normalized list: Spark splits
+    // spark.local.dir on ',' without trimming, so passing the raw env
+    // value ("a, b") would send it to a literal " b" path distinct from
+    // the pre-created "b".
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").foreach { raw =>
+      val dirs = raw.split(',').map(_.trim).filter(_.nonEmpty)
+      dirs.foreach(d =>
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
-      b.config("spark.local.dir", p)
+      if (dirs.nonEmpty) b.config("spark.local.dir", dirs.mkString(","))
     }
     b
     .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

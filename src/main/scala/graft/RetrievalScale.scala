@@ -15,17 +15,50 @@ import org.apache.spark.sql.functions._
   * every append is a REAL fold (not an idempotent skip), with realistic
   * text and term distributions.
   *
+  * The append lifecycle runs against a SCRATCH COPY of the corpus dir,
+  * never the shared one: round 6 ran the appends against the shared
+  * sf0.01 dir and its persisted index then held three phantom docs the
+  * corpus does not — the q113b oracle regression. (The registry path
+  * now also validates corpus-equivalence at reattach, but a measurement
+  * tool must not mutate shared state in the first place.) Probes pass
+  * `validateCorpus = false`: measuring an appended-to index is the
+  * point here, and the lifecycle contract is "answer over whatever the
+  * index holds".
+  *
+  * With nAppends=0 (the 50 M-doc probe-latency point) the run is
+  * non-mutating and uses the given dir directly, and measures the
+  * compact-right-after-build deployment rule the round-6 campaign
+  * motivated: fresh build lands tasks×buckets files; compact folds them
+  * to one per bucket and cut probes 7-9× at 5 M docs.
+  *
   * Usage: runMain graft.RetrievalScale <sfDir> [nAppends] [batchRows] [reps]
   */
 object RetrievalScale {
   def main(args: Array[String]): Unit = {
-    val dir = args(0)
+    val srcDir = args(0)
     val nAppends = args.lift(1).map(_.toInt).getOrElse(6)
     val batchRows = args.lift(2).map(_.toInt).getOrElse(50000)
     val reps = args.lift(3).map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val s = GraftSession.local(cpus)
     s.sparkContext.setLogLevel("WARN")
+
+    // append lifecycle mutates its index: work on a scratch corpus copy
+    val dir =
+      if (nAppends == 0) srcDir
+      else {
+        val t = java.nio.file.Files.createTempDirectory("graft_retrscale_")
+        t.toFile.deleteOnExit()
+        val from = java.nio.file.Paths.get(srcDir, "documents.parquet")
+        val to = t.resolve("documents.parquet")
+        java.nio.file.Files.createDirectories(to)
+        val walk = java.nio.file.Files.walk(from)
+        try walk.filter(java.nio.file.Files.isRegularFile(_)).forEach { f =>
+          java.nio.file.Files.copy(f, to.resolve(from.relativize(f)))
+        } finally walk.close()
+        println(s"[retrieval-scale] scratch corpus copy: $t")
+        t.toString
+      }
 
     def timed(label: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
@@ -37,7 +70,7 @@ object RetrievalScale {
       timed(s"probe_$stage rep$r") {
         // count() alone would let Catalyst prune the scoring columns;
         // the checksum forces the full BM25 arithmetic like the oracle.
-        val row = operators.Retrieval.bm25Indexed(s, dir)
+        val row = operators.Retrieval.bm25Indexed(s, dir, validateCorpus = false)
           .agg(round(sum(col("score")), 4).as("chk"), count(lit(1)).as("n"))
           .collect()(0)
         println(s"[retrieval-scale]   chk=${row.get(0)} n=${row.getLong(1)}")
@@ -55,10 +88,15 @@ object RetrievalScale {
     println(s"[retrieval-scale] postings files fresh = ${postingsFiles()}")
     probe("fresh")
 
-    // nAppends=0 → build + probe only (the 50 M-doc "probe latency vs
-    // corpus size" point, where a full compact rewrite would just
-    // re-measure the build).
-    if (nAppends == 0) { s.stop(); return }
+    // nAppends=0 → build + probe + compact-after-build + probe: the
+    // 50 M-doc "probe latency vs corpus size" point plus the deployment
+    // rule's payoff, with no mutation of the shared dir's doc set.
+    if (nAppends == 0) {
+      timed("compact_after_build")(operators.Retrieval.compact(s, dir))
+      println(s"[retrieval-scale] postings files after compact = ${postingsFiles()}")
+      probe("compacted_fresh")
+      s.stop(); return
+    }
     (1 to nAppends).foreach { i =>
       // shift ids far past any real doc_id so the batch is uncommitted
       val batch = Tables.documents(s, dir)

@@ -52,7 +52,9 @@ object Cdc {
     * `o_custkey`; bucket layout is per-key by nature.
     */
   private[graft] def bucketedOrdersTbl(d: String, key: String): String =
-    s"graft_cdcbase_${key}_${graft.DirKeys.digest(d)}"
+    s"graft_cdcbase_${key}_${graft.DirKeys.digest(d,
+      graft.DirKeys.contentStamp(
+        java.nio.file.Paths.get(d, "orders.parquet").toString))}"
 
   /** Bucket count sized to the TABLE, not a constant: ~256 MB of source
     * parquet per bucket (floor 32, cap 4096). A bucketed side removes

@@ -39,10 +39,16 @@ object LshIndex {
   /** Index tables are namespaced on a sha-256 prefix of the CANONICALIZED
     * data dir: two spellings of one dir (`x` vs `x/.`) share an index,
     * and two distinct dirs cannot collide the way a 32-bit String.hashCode
-    * could (a collision would silently probe the wrong corpus).
+    * could (a collision would silently probe the wrong corpus). The
+    * corpus freshness stamp is folded into the salt (the Similarity
+    * codebook convention): a REGENERATED documents.parquet rolls the
+    * namespace, so a fresh JVM can never reattach signatures computed
+    * over the old rows.
     */
   private[graft] def tbl(kind: String, d: String): String =
-    s"graft_lshidx_${kind}_${graft.DirKeys.digest(d)}"
+    s"graft_lshidx_${kind}_${graft.DirKeys.digest(d,
+      graft.DirKeys.contentStamp(
+        java.nio.file.Paths.get(d, "documents.parquet").toString))}"
 
   /** Write the five index tables for `docs` (build or append).
     *

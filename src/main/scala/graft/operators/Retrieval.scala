@@ -52,8 +52,17 @@ object Retrieval {
 
   private val IndexKinds = Seq("postings", "stats", "committed")
 
+  /** Freshness stamp of the corpus the index covers: a regenerated
+    * documents.parquet rolls every index table name (the Similarity
+    * codebook convention), so a stale index can never be reattached
+    * against new rows — the round-6 lesson generalized.
+    */
+  private def docStamp(d: String): String =
+    graft.DirKeys.contentStamp(
+      java.nio.file.Paths.get(d, "documents.parquet").toString)
+
   private[graft] def tbl(kind: String, d: String): String =
-    s"graft_invidx_${kind}_${graft.DirKeys.digest(d)}"
+    s"graft_invidx_${kind}_${graft.DirKeys.digest(d, docStamp(d))}"
 
   /** (doc_id, dl, token) occurrences — dl (whitespace-token doc length)
     * rides the explode so tf aggregation can carry it as `max(dl)` and
@@ -133,6 +142,34 @@ object Retrieval {
         .mode(mode).format("parquet").saveAsTable(tbl("committed", d))
   }
 
+  /** Standalone layout-metadata file next to the index tables (NOT
+    * inside any table dir, so compaction's staging+rename churn can
+    * never lose it): records the bucket count the postings/committed
+    * layouts were written with. Written once per fresh build — before
+    * any append can exist — and asserted at reattach: a reattach under
+    * a DIFFERENT source [[Buckets]] would otherwise declare the wrong
+    * bucket count in its DDL and bucket pruning would return WRONG (not
+    * just slow) probe results. Mismatch or absence → rebuild (cost, not
+    * a correctness event).
+    */
+  private def metaPath(s: SparkSession, d: String): java.nio.file.Path = {
+    val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+    java.nio.file.Paths.get(wh, tbl("meta", d))
+  }
+
+  private def writeMeta(s: SparkSession, d: String): Unit =
+    java.nio.file.Files.write(metaPath(s, d),
+      s"buckets=$Buckets\n".getBytes("UTF-8"))
+
+  private def metaBuckets(s: SparkSession, d: String): Option[Int] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(metaPath(s, d)), "UTF-8")
+      txt.linesIterator.collectFirst {
+        case l if l.startsWith("buckets=") => l.stripPrefix("buckets=").trim.toInt
+      }
+    } catch { case _: java.io.IOException => None }
+
   /** Re-register the index in a fresh session's catalog when its
     * warehouse directories survive from a previous JVM. The sandbox's
     * in-memory catalog forgets table metadata on exit (a production
@@ -140,17 +177,26 @@ object Retrieval {
     * re-paid the full corpus build — 2428 s at 50 M docs, measured.
     * Only a COMPLETE index is reattached: the `committed` marker table
     * is written LAST (with a `_SUCCESS` sentinel), so its presence
-    * proves the original build finished; anything less falls through to
-    * [[buildIndex]]'s clear-and-rebuild. The DDL mirrors
-    * [[writeSegment]]'s layout exactly (same bucket spec ⇒ probes keep
-    * their ≤|terms| bucket pruning). Returns true when attached. */
+    * proves the original build finished, and the layout meta file must
+    * agree with the compiled-in [[Buckets]] (see [[metaPath]] — a wrong
+    * bucket declaration breaks pruning correctness, not just speed);
+    * anything less falls through to [[buildIndex]]'s clear-and-rebuild.
+    * The DDL mirrors [[writeSegment]]'s layout exactly (same bucket
+    * spec ⇒ probes keep their ≤|terms| bucket pruning). Returns true
+    * when attached. NOTE: reattach proves the index is a COMPLETE build
+    * over *some* committed doc set — corpus EQUIVALENCE is a separate
+    * contract enforced by [[ensureCorpusExact]] on the registry path
+    * (an appended-to index is legitimate for the maintained-lifecycle
+    * API, wrong for q113b).
+    */
   private[graft] def reattachIndex(s: SparkSession, d: String): Boolean = {
     if (IndexKinds.forall(k => s.catalog.tableExists(tbl(k, d)))) return true
     val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
     def dirOf(kind: String) = java.nio.file.Paths.get(wh, tbl(kind, d))
     val complete =
       IndexKinds.forall(k => java.nio.file.Files.exists(dirOf(k))) &&
-        java.nio.file.Files.exists(dirOf("committed").resolve("_SUCCESS"))
+        java.nio.file.Files.exists(dirOf("committed").resolve("_SUCCESS")) &&
+        metaBuckets(s, d).contains(Buckets)
     if (!complete) return false
     def ddl(kind: String, cols: String, bucketKey: String): Unit =
       if (!s.catalog.tableExists(tbl(kind, d)))
@@ -165,6 +211,21 @@ object Retrieval {
     true
   }
 
+  /** Drop every index table (catalog + leftover warehouse dir + any
+    * `_compacting` staging + the meta file) for `d` — the clear half of
+    * clear-and-rebuild. Staging dirs must go too, or the next
+    * [[recoverCompacting]] would resurrect the cleared index from them.
+    */
+  private def clearIndex(s: SparkSession, d: String): Unit = {
+    IndexKinds.foreach { kind =>
+      Seq(tbl(kind, d), tbl(kind, d) + "_compacting").foreach { t =>
+        if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE `$t`")
+        clearLeftoverDir(s, t)
+      }
+    }
+    java.nio.file.Files.deleteIfExists(metaPath(s, d))
+  }
+
   /** Build the index over the EXISTING corpus, once per catalog. Gate
     * and stale-warehouse-dir recovery follow LshIndex: complete only if
     * ALL tables are registered (a build that died partway must not
@@ -175,20 +236,50 @@ object Retrieval {
   def buildIndex(s: SparkSession, d: String): Unit = {
     recoverCompacting(s, d)
     if (reattachIndex(s, d)) return
-    val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
-    IndexKinds.foreach { kind =>
-      if (s.catalog.tableExists(tbl(kind, d)))
-        s.sql(s"DROP TABLE `${tbl(kind, d)}`")
-      val loc = java.nio.file.Paths.get(wh, tbl(kind, d))
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(loc)
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
-    }
+    clearIndex(s, d)
     writeSegment(s, Tables.documents(s, d), d, "overwrite")
+    writeMeta(s, d)
+  }
+
+  /** Per-JVM memo of (canonical dir, corpus stamp) pairs whose index
+    * has been VERIFIED corpus-exact, so repeated registry probes pay the
+    * corpus id-scan once per session, not once per query. [[append]]
+    * removes its entry — the index then legitimately holds more than
+    * the corpus and the registry contract no longer holds.
+    */
+  private val verifiedExact =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+
+  /** Order-insensitive identity of a doc_id set: (count, xor of
+    * xxhash64(doc_id)) — the seg_key convention. Exact for set
+    * equality up to xor collisions across 64-bit hashes. */
+  private def idFold(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)).as("k")).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** The registry contract: q113b ≡ BM25 over the CURRENT corpus,
+    * nothing more. A reattached (or same-JVM) index that has been
+    * appended to — e.g. by the maintained-lifecycle API or an external
+    * tool run against this dir — holds committed docs the corpus does
+    * not; detect that with a committed-vs-corpus id fold (one pruned
+    * committed scan + one column-pruned corpus id scan — cheap next to
+    * a rebuild, and memoized per JVM) and CLEAR-AND-REBUILD on any
+    * mismatch. This is the round-6 q113b regression fix: reattach
+    * proves build completeness, never corpus equivalence.
+    */
+  private[graft] def ensureCorpusExact(s: SparkSession, d: String): Unit = {
+    val key = (graft.DirKeys.canonical(d), docStamp(d))
+    if (verifiedExact.contains(key)) return
+    buildIndex(s, d)
+    val idx = idFold(s.table(tbl("committed", d)).select(col("doc_id")))
+    val corpus = idFold(Tables.documents(s, d).select(col("doc_id")))
+    if (idx != corpus) {
+      clearIndex(s, d) // staging dirs included: nothing can resurrect
+      buildIndex(s, d)
+    }
+    verifiedExact.put(key, ())
   }
 
   /** Fold a new batch into the index: later probes score over corpus +
@@ -201,6 +292,9 @@ object Retrieval {
     val fresh = docs.join(s.table(tbl("committed", d)).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
     writeSegment(s, fresh, d, "append")
+    // the index may now hold more than the corpus: the registry path
+    // must re-verify (and rebuild) before serving q113b from it
+    verifiedExact.remove((graft.DirKeys.canonical(d), docStamp(d)))
   }
 
   /** Delete a table's leftover warehouse DIRECTORY after its catalog
@@ -225,6 +319,26 @@ object Retrieval {
     * compacted data survives in the staging table, so complete the
     * rename instead of letting [[buildIndex]] declare the set partial
     * and rebuild from the corpus, silently discarding appended batches.
+    *
+    * Two recovery levels. Catalog-level covers a failure INSIDE this
+    * JVM (the staging table is still registered). Filesystem-level
+    * covers a crash + RESTART: the fresh JVM's in-memory catalog knows
+    * neither table, so the surviving `<t>_compacting` warehouse dir is
+    * all the evidence there is — without this branch, [[reattachIndex]]
+    * would see the main dir missing, declare the index incomplete, and
+    * silently rebuild from the corpus, discarding every appended batch
+    * (the exact loss reattach exists to prevent).
+    *
+    * Who wins when BOTH dirs survive is decided by the main dir's
+    * `_SUCCESS` sentinel, which [[compact]] deletes FIRST — before any
+    * DROP — so its presence proves compaction never got past staging
+    * for this kind. Main-with-`_SUCCESS` ⇒ main is current (the staging
+    * dir is a stale content-equal-or-older copy; promoting it could
+    * discard batches appended AFTER an earlier recovered crash) → drop
+    * staging. Main missing or sentinel-less ⇒ the complete staged copy
+    * (its own `_SUCCESS` proves the write job committed before any DROP
+    * ran) is the only valid table → promote it. A staged dir without
+    * `_SUCCESS` is an incomplete write and is removed.
     */
   private def recoverCompacting(s: SparkSession, d: String): Unit =
     IndexKinds.foreach { kind =>
@@ -233,6 +347,26 @@ object Retrieval {
       if (!s.catalog.tableExists(t) && s.catalog.tableExists(tmp)) {
         clearLeftoverDir(s, t) // external DROP leaves its dir behind
         s.sql(s"ALTER TABLE `$tmp` RENAME TO `$t`")
+      } else if (!s.catalog.tableExists(t) && !s.catalog.tableExists(tmp)) {
+        val wh = java.net.URI.create(
+          s.conf.get("spark.sql.warehouse.dir")).getPath
+        val tDir = java.nio.file.Paths.get(wh, t)
+        val tmpDir = java.nio.file.Paths.get(wh, tmp)
+        if (java.nio.file.Files.exists(tmpDir)) {
+          if (!java.nio.file.Files.exists(tmpDir.resolve("_SUCCESS")))
+            clearLeftoverDir(s, tmp) // incomplete staging write
+          else if (java.nio.file.Files.exists(tDir.resolve("_SUCCESS")))
+            clearLeftoverDir(s, tmp) // main current: staging is stale
+          else {
+            clearLeftoverDir(s, t) // sentinel-less main = mid-replacement
+            java.nio.file.Files.move(tmpDir, tDir)
+          }
+        }
+      } else if (s.catalog.tableExists(t) && !s.catalog.tableExists(tmp)) {
+        // main is catalog-current (reattach runs AFTER this recovery, so
+        // a registered t postdates any staging dir): remove the stale
+        // staging dir or the next compaction's staging write collides
+        clearLeftoverDir(s, tmp)
       }
     }
 
@@ -272,6 +406,14 @@ object Retrieval {
               .write.bucketBy(Buckets, "doc_id").sortBy("doc_id")
         }
         w.format("parquet").mode("overwrite").saveAsTable(tmp)
+        // invalidate main BEFORE dropping it: from here until the RENAME
+        // lands, the staged copy is the authoritative table, and a
+        // crash-recovery ([[recoverCompacting]]) keys "who wins" on
+        // exactly this sentinel
+        val wh = java.net.URI.create(
+          s.conf.get("spark.sql.warehouse.dir")).getPath
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(wh, t).resolve("_SUCCESS"))
         s.sql(s"DROP TABLE `$t`")
         clearLeftoverDir(s, t) // external DROP leaves its dir behind
         s.sql(s"ALTER TABLE `$tmp` RENAME TO `$t`")
@@ -316,15 +458,23 @@ object Retrieval {
       .limit(topN)
   }
 
-  /** The probe side: same output as [[bm25]] over whatever the index
-    * currently holds — the corpus is never scanned. The `token IN (…)`
-    * filter prunes the bucketed postings scan to ≤ |terms| buckets
-    * (SelectedBucketsCount, spec-asserted); df and corpus stats are
-    * recomputed from the pruned lists and the segment rows, so appends
-    * are reflected without rewriting anything. */
+  /** The probe side: same output as [[bm25]] — the corpus text is never
+    * scanned. The `token IN (…)` filter prunes the bucketed postings
+    * scan to ≤ |terms| buckets (SelectedBucketsCount, spec-asserted);
+    * df and corpus stats are recomputed from the pruned lists and the
+    * segment rows, so appends are reflected without rewriting anything.
+    *
+    * `validateCorpus` (the default — the REGISTRY contract) asserts the
+    * index covers exactly the current corpus before serving, rebuilding
+    * on mismatch ([[ensureCorpusExact]]; memoized per JVM, so steady
+    * probes stay index-only). The maintained-lifecycle callers
+    * (RetrievalScale, the append specs) pass false: for them an index
+    * holding corpus ∪ appended batches is the POINT, and the probe
+    * answers over whatever the index currently holds. */
   def bm25Indexed(s: SparkSession, d: String, terms: Seq[String] = DefaultTerms,
-                  k1: Double = K1, b: Double = B, topN: Int = 10): DataFrame = {
-    buildIndex(s, d)
+                  k1: Double = K1, b: Double = B, topN: Int = 10,
+                  validateCorpus: Boolean = true): DataFrame = {
+    if (validateCorpus) ensureCorpusExact(s, d) else buildIndex(s, d)
     // retry-duplicate guard: a crashed-then-retried append can leave a
     // doc's posting rows twice; tf/dl are identical copies, so max ≡
     // first and the fold is exact

@@ -314,11 +314,9 @@ object Similarity {
     * keeps serving a codebook trained on the old vectors (round-4 find:
     * the disk path rolled but the in-memory `codebooks` key did not).
     */
-  private def embStamp(d: String): String = {
-    val emb = java.nio.file.Paths.get(d, "embeddings.parquet")
-    try s"${java.nio.file.Files.size(emb)}_${java.nio.file.Files.getLastModifiedTime(emb).toMillis}"
-    catch { case _: java.io.IOException => "nofile" }
-  }
+  private def embStamp(d: String): String =
+    graft.DirKeys.contentStamp(
+      java.nio.file.Paths.get(d, "embeddings.parquet").toString)
 
   private def ivfStableDir(s: SparkSession, d: String, cells: Int,
                            iters: Int): java.nio.file.Path = {

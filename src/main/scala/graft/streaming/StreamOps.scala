@@ -503,8 +503,11 @@ object StreamOps {
   }
 
   // persistent state dirs for the streaming training-corpus maintainer,
-  // one per sfDir (same lifecycle rationale as mergeWorkDirs)
-  private val corpusWorkDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  // one per (sfDir, corpus stamp): a regenerated documents.parquet gets
+  // a FRESH work dir + checkpoint in the same JVM, matching the rolled
+  // state-table namespace (same lifecycle rationale as mergeWorkDirs)
+  private val corpusWorkDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   /** Bucket count of the maintainer's state tables — matches
     * [[graft.operators.LshIndex.Buckets]]; at 100 TB a deployment sizes
@@ -522,10 +525,17 @@ object StreamOps {
 
   /** Catalog name of one of the maintainer's bucketed state tables,
     * namespaced like [[graft.operators.LshIndex.tbl]] (sha-256 of the
-    * canonicalized data dir).
+    * canonicalized data dir, salted with the corpus freshness stamp —
+    * a regenerated documents.parquet rolls the state namespace AND the
+    * work-dir key below, forcing a fresh checkpoint + full replay
+    * instead of trusting state accumulated over the old rows).
     */
+  private[graft] def corpusStamp(d: String): String =
+    graft.DirKeys.contentStamp(
+      java.nio.file.Paths.get(d, "documents.parquet").toString)
+
   private[graft] def corpusTbl(kind: String, d: String): String =
-    s"graft_strmcorp_${kind}_${graft.DirKeys.digest(d)}"
+    s"graft_strmcorp_${kind}_${graft.DirKeys.digest(d, corpusStamp(d))}"
 
   /** The maintainer's probed state tables and their bucket keys.
     * `bench` is written ONCE (the benchmark decontamination set pre-exists
@@ -675,7 +685,7 @@ object StreamOps {
     import graft.operators.{CorpusOps, Dedup}
     import graft.functions.TextFunctions
     import org.apache.spark.sql.expressions.Window
-    val work = corpusWorkDirs.getOrElseUpdate(d, {
+    val work = corpusWorkDirs.getOrElseUpdate((d, corpusStamp(d)), {
       val t = java.nio.file.Files.createTempDirectory("graft_stream_corpus_")
       t.toFile.deleteOnExit()
       val w = t.toString
@@ -891,10 +901,13 @@ object StreamOps {
   }
 
   // persistent CDC work dir (feed + checkpoint + applied emissions) per
-  // sfDir: the state store is seeded ONCE per JVM and every later pass
-  // re-opens it from the checkpoint (same lifecycle rationale as
-  // stagedDirs; on a cluster this directory is durable storage)
-  private val mergeWorkDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  // (sfDir, orders stamp): the state store is seeded ONCE per JVM and
+  // every later pass re-opens it from the checkpoint (same lifecycle
+  // rationale as stagedDirs; on a cluster this directory is durable
+  // storage). A regenerated orders.parquet rolls the key — a checkpoint
+  // seeded from the old rows must not absorb the new change feed.
+  private val mergeWorkDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   /** The per-key CDC fold shared by every apply pass: collapse this
     * batch's ops for one key onto the current state row. Seeded keys
@@ -1025,7 +1038,9 @@ object StreamOps {
     val orders = graft.Tables.orders(s, d)
     val changes = graft.operators.Cdc.changeFeed(orders)
     var fresh = false
-    val workDir = mergeWorkDirs.getOrElseUpdate(d, {
+    val workDir = mergeWorkDirs.getOrElseUpdate((d,
+      graft.DirKeys.contentStamp(
+        java.nio.file.Paths.get(d, "orders.parquet").toString)), {
       fresh = true
       val t = java.nio.file.Files.createTempDirectory("graft_cdc_work")
       t.toFile.deleteOnExit()

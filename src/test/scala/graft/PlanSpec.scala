@@ -67,10 +67,16 @@ class PlanSpec extends AnyFunSuite {
     val found = scala.collection.mutable.Map.empty[String, Int]
     java.nio.file.Files.walk(root).forEach { p =>
       if (p.toString.endsWith(".scala")) {
+        // count call-site OCCURRENCES, not lines: two calls on one line
+        // must count twice, and a trailing "// broadcast(...)" comment
+        // must not let a real new call enter at an unchanged count
+        val Hit = "broadcast\\(".r
         val hits = scala.io.Source.fromFile(p.toFile, "UTF-8").getLines()
           .map(_.trim)
-          .count(l => l.contains("broadcast(") &&
-            !l.startsWith("//") && !l.startsWith("*") && !l.startsWith("/*"))
+          .filter(l => !l.startsWith("//") && !l.startsWith("*") &&
+            !l.startsWith("/*"))
+          .map(l => Hit.findAllIn(l.split("//", 2)(0)).size)
+          .sum
         if (hits > 0) found(p.getFileName.toString) = hits
       }
     }

@@ -123,8 +123,12 @@ class RetrievalSpec extends AnyFunSuite {
   private def batch(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
     ids.map(i => (i, s"hash merge hash window doc$i filler merge")).toDF("doc_id", "text")
 
+  // lifecycle probes answer over whatever the index HOLDS (corpus ∪
+  // appended batches) — the registry-contract validation would rebuild
+  // an appended-to index away, which is a different test (below)
   private def probeRows(d: String) =
-    Retrieval.bm25Indexed(spark, d).as[(Long, Double)].collect().toSeq
+    Retrieval.bm25Indexed(spark, d, validateCorpus = false)
+      .as[(Long, Double)].collect().toSeq
 
   test("append: probe reflects the folded batch with updated df/N/avgdl") {
     val d = stageDir(corpus100)
@@ -199,7 +203,7 @@ class RetrievalSpec extends AnyFunSuite {
     // Bucket pruning survives reattachment (the DDL mirrors the layout;
     // assert on the real probe plan — a bare filter+count would let
     // DisableUnnecessaryBucketedScan turn the bucketed scan off).
-    val plan = Retrieval.bm25Indexed(spark, d)
+    val plan = Retrieval.bm25Indexed(spark, d, validateCorpus = false)
       .queryExecution.executedPlan.toString
     val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
     assert(m.isDefined, s"no bucket pruning in reattached plan:\n$plan")
@@ -239,5 +243,155 @@ class RetrievalSpec extends AnyFunSuite {
         .union(batch(9310L to 9314L)).union(b3)))
       .as[(Long, Double)].collect().toSeq
     assert(probeRows(d) == ref)
+  }
+
+  // ---- registry contract / reattach validation (the round-6 q113b
+  // regression class: a reattached index is a COMPLETE build over SOME
+  // doc set; corpus EQUIVALENCE is a separate check) ----
+
+  private def wh =
+    java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath
+
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(from)
+    try walk.forEach { p =>
+      val q = to.resolve(from.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(q)
+      else java.nio.file.Files.copy(p, q)
+    } finally walk.close()
+  }
+
+  test("registry contract: an appended-to index is rebuilt corpus-only; the lifecycle probe keeps the appends") {
+    val d = stageDir(corpus100)
+    Retrieval.buildIndex(spark, d)
+    val b1 = batch(9500L to 9504L)
+    Retrieval.append(spark, b1, d)
+    // the LIFECYCLE probe answers over corpus ∪ batch …
+    val lifecycle = probeRows(d)
+    val refWithBatch = Retrieval.bm25(spark, stageDir(corpus100.union(b1)))
+      .as[(Long, Double)].collect().toSeq
+    assert(lifecycle == refWithBatch)
+    // … while the REGISTRY probe (q113b's path) must detect that the
+    // index holds docs the corpus does not, clear-and-rebuild, and
+    // answer ≡ BM25 over the current corpus alone — the exact failure
+    // round 6 shipped when a lifecycle tool polluted the shared index.
+    val registry = Retrieval.bm25Indexed(spark, d)
+      .as[(Long, Double)].collect().toSeq
+    val refCorpusOnly = Retrieval.bm25(spark, d)
+      .as[(Long, Double)].collect().toSeq
+    assert(registry == refCorpusOnly)
+    assert(registry != refWithBatch) // the batch really changed the answer
+    // the rebuild is memoized: a second registry probe is index-only and
+    // still corpus-exact
+    assert(Retrieval.bm25Indexed(spark, d)
+      .as[(Long, Double)].collect().toSeq == refCorpusOnly)
+  }
+
+  test("stamp roll: a REGENERATED documents.parquet rolls the index namespace and forces a rebuild") {
+    val docsA = corpus100
+    val d = stageDir(docsA)
+    Retrieval.buildIndex(spark, d)
+    val tblA = Retrieval.tbl("postings", d)
+    val probeA = probeRows(d)
+    // regenerate the corpus in place (the driver does this between
+    // rounds): different rows, same path
+    val docsB = corpus100.union(batch(9600L to 9619L))
+    docsB.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // the namespace must roll — a fresh JVM could otherwise reattach
+    // the index built over the OLD rows (round-6 What's-wrong #2)
+    assert(Retrieval.tbl("postings", d) != tblA)
+    val probeB = probeRows(d) // plain buildIndex path: must rebuild
+    val refB = Retrieval.bm25(spark, stageDir(docsB))
+      .as[(Long, Double)].collect().toSeq
+    assert(probeB == refB)
+    assert(probeB != probeA)
+  }
+
+  test("reattach: a bucket-count mismatch in the layout meta falls back to rebuild, not wrong pruning") {
+    val d = stageDir(corpus100)
+    Retrieval.buildIndex(spark, d)
+    Retrieval.append(spark, batch(9700L to 9704L), d)
+    val kinds = Seq("postings", "stats", "committed")
+    // simulate a JVM restart (stash dirs across the managed DROP) …
+    val stash = java.nio.file.Files.createTempDirectory("graft_invidx_meta_stash")
+    kinds.foreach(k => copyTree(
+      java.nio.file.Paths.get(wh, Retrieval.tbl(k, d)),
+      stash.resolve(Retrieval.tbl(k, d))))
+    kinds.foreach(k => spark.sql(s"DROP TABLE `${Retrieval.tbl(k, d)}`"))
+    kinds.foreach(k => copyTree(
+      stash.resolve(Retrieval.tbl(k, d)),
+      java.nio.file.Paths.get(wh, Retrieval.tbl(k, d))))
+    // … under an index whose layout metadata says it was written with a
+    // DIFFERENT bucket count (source constant changed between JVMs): a
+    // reattach would declare the wrong count in its DDL and bucket
+    // pruning would silently return wrong probe rows.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(wh, Retrieval.tbl("meta", d)),
+      s"buckets=${Retrieval.Buckets * 2}\n".getBytes("UTF-8"))
+    // reattach must REFUSE → clear-and-rebuild from the corpus: the
+    // appended batch is gone (rebuild cost, never wrong rows)
+    val probed = probeRows(d)
+    val refCorpusOnly = Retrieval.bm25(spark, d)
+      .as[(Long, Double)].collect().toSeq
+    assert(probed == refCorpusOnly)
+  }
+
+  test("crash recovery: a compaction interrupted between DROP and RENAME survives a JVM restart") {
+    val d = stageDir(corpus100)
+    Retrieval.buildIndex(spark, d)
+    val b1 = batch(9800L to 9804L)
+    Retrieval.append(spark, b1, d)
+    val expected = probeRows(d) // corpus ∪ batch
+    val kinds = Seq("postings", "stats", "committed")
+    val stash = java.nio.file.Files.createTempDirectory("graft_invidx_crash_stash")
+    kinds.foreach(k => copyTree(
+      java.nio.file.Paths.get(wh, Retrieval.tbl(k, d)),
+      stash.resolve(Retrieval.tbl(k, d))))
+    kinds.foreach(k => spark.sql(s"DROP TABLE `${Retrieval.tbl(k, d)}`"))
+    // Crash state, fresh-JVM edition: catalog knows NOTHING (the DROPs
+    // above cleared it); on disk, stats+committed completed their swap
+    // but postings died between its DROP and RENAME — only the staged
+    // `postings_compacting` dir (with _SUCCESS) survives. Before the
+    // filesystem-level recovery existed, reattach declared the index
+    // incomplete and silently rebuilt, discarding the appended batch.
+    kinds.filter(_ != "postings").foreach(k => copyTree(
+      stash.resolve(Retrieval.tbl(k, d)),
+      java.nio.file.Paths.get(wh, Retrieval.tbl(k, d))))
+    copyTree(stash.resolve(Retrieval.tbl("postings", d)),
+      java.nio.file.Paths.get(wh, Retrieval.tbl("postings", d) + "_compacting"))
+    assert(probeRows(d) == expected) // recovery promoted the staged dir
+    // and the index is fully operational: append + compact still work
+    val b2 = batch(9810L to 9814L)
+    Retrieval.append(spark, b2, d)
+    Retrieval.compact(spark, d)
+    val ref = Retrieval.bm25(spark, stageDir(corpus100.union(b1).union(b2)))
+      .as[(Long, Double)].collect().toSeq
+    assert(probeRows(d) == ref)
+  }
+
+  test("crash recovery: a STALE staging dir never beats a current main table") {
+    val d = stageDir(corpus100)
+    Retrieval.buildIndex(spark, d)
+    val b1 = batch(9900L to 9904L)
+    Retrieval.append(spark, b1, d)
+    val expected = probeRows(d)
+    val kinds = Seq("postings", "stats", "committed")
+    val stash = java.nio.file.Files.createTempDirectory("graft_invidx_stale_stash")
+    kinds.foreach(k => copyTree(
+      java.nio.file.Paths.get(wh, Retrieval.tbl(k, d)),
+      stash.resolve(Retrieval.tbl(k, d))))
+    kinds.foreach(k => spark.sql(s"DROP TABLE `${Retrieval.tbl(k, d)}`"))
+    kinds.foreach(k => copyTree(
+      stash.resolve(Retrieval.tbl(k, d)),
+      java.nio.file.Paths.get(wh, Retrieval.tbl(k, d))))
+    // a stale staging dir from a compaction that crashed BEFORE its
+    // DROP (main still carries _SUCCESS ⇒ main is current — it may hold
+    // batches appended after that crash; promoting the stale copy would
+    // silently lose them)
+    copyTree(stash.resolve(Retrieval.tbl("postings", d)),
+      java.nio.file.Paths.get(wh, Retrieval.tbl("postings", d) + "_compacting"))
+    assert(probeRows(d) == expected) // main won
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      wh, Retrieval.tbl("postings", d) + "_compacting"))) // staging cleaned
   }
 }
