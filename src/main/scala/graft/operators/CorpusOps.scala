@@ -946,6 +946,32 @@ object CorpusOps {
     */
   def contaminationSpans(s: SparkSession, d: String, n: Int = 8): DataFrame = {
     val docs = Tables.documents(s, d)
+    // merge hint: THIS bench set is corpus-DERIVED (the src0 slice), so
+    // it grows with the corpus and may not broadcast — see
+    // [[contaminationSpansAgainst]] for why that forces sort-merge.
+    contaminationSpansAgainst(s,
+      pool = docs.filter(col("source") =!= "src0"),
+      bench = docs.filter(col("source") === "src0"),
+      n = n, benchGrowsWithCorpus = true)
+  }
+
+  /** [[contaminationSpans]] against an EXPLICIT benchmark table — the
+    * deployment form: a real eval suite is its own (MB-sized) corpus,
+    * not a slice of the training pool. With
+    * `benchGrowsWithCorpus = false` (the default here) the bench gram
+    * set carries no join hint: AQE broadcasts it from measured size and
+    * pass A becomes a map-side semi-join — the pool is SCANNED, never
+    * shuffled, so cost tracks the corpus scan alone (the regime the
+    * q118 50 M super-linear analysis predicts; ContaminationScale
+    * measures it). Set it true when the bench side scales with the
+    * corpus (the registry query's synthetic src0 slice): a grows-with-
+    * corpus side must sort-merge — at 5 M docs AQE's SMJ→SHJ conversion
+    * on the unhinted form built 32 concurrent unspillable string-keyed
+    * maps and OOM'd (round-5 measurement).
+    */
+  def contaminationSpansAgainst(s: SparkSession, pool: DataFrame,
+                                bench: DataFrame, n: Int = 8,
+                                benchGrowsWithCorpus: Boolean = false): DataFrame = {
     def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= n)
@@ -961,20 +987,15 @@ object CorpusOps {
     // pass B below, over matched docs only.
     def gramHashes(df: DataFrame): DataFrame = grams(df)
       .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
-    // Membership on the 8-byte gram HASH (the q59 convention). The first
-    // cut joined on the STRING: at the 5 M-doc point the bench gram set
-    // exceeded auto-broadcast, and AQE's SMJ→SHJ conversion built 32
-    // concurrent unspillable string-keyed maps — executor OOM (round-5
-    // measurement). merge hint: this synthetic bench set is
-    // corpus-DERIVED (the src0 slice), so it grows with the corpus and
-    // may not broadcast. Sort-merge spills; a REAL benchmark set
-    // (thousands of eval docs) is tiny and its sort costs nothing.
-    val bench = gramHashes(docs.filter(col("source") === "src0"))
-      .select(col("gh")).distinct()
-    val pool = docs.filter(col("source") =!= "src0")
-    // Pass A: which (doc, position) spans are contaminated — the only
-    // corpus-sized exchange, hashes + coordinates, never text.
-    val hits = gramHashes(pool).join(bench.hint("merge"), "gh")
+    // Membership on the 8-byte gram HASH (the q59 convention): never the
+    // string — string keys are what made the round-5 SHJ maps unspillable.
+    val benchGh = gramHashes(bench).select(col("gh")).distinct()
+    val benchSide = if (benchGrowsWithCorpus) benchGh.hint("merge") else benchGh
+    // Pass A: which (doc, position) spans are contaminated — hashes +
+    // coordinates, never text. With a bounded bench this is a broadcast
+    // map-side join (zero pool-side exchange); grows-with-corpus benches
+    // pay the sort-merge.
+    val hits = gramHashes(pool).join(benchSide, "gh")
       .select(col("doc_id"), col("pos"))
     // Pass B: re-extract grams for the CONTAMINATED docs only (the
     // semi-join set is contamination-sized — AQE broadcasts it from

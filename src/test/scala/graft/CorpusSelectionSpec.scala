@@ -180,6 +180,22 @@ class CorpusSelectionSpec extends AnyFunSuite {
     assert(perDoc == q59)
   }
 
+  test("q118 contaminationSpansAgainst: explicit bench ≡ registry slice; bounded bench never sort-merges") {
+    val docs = Tables.documents(spark, SharedSpark.sf)
+    val explicit = CorpusOps.contaminationSpansAgainst(spark,
+      pool = docs.filter(col("source") =!= "src0"),
+      bench = docs.filter(col("source") === "src0"))
+    // same pool, same bench content → identical report in either regime
+    val viaRegistry = CorpusOps.contaminationSpans(spark, SharedSpark.sf)
+    assert(explicit.collect().toSeq == viaRegistry.collect().toSeq)
+    // bounded-bench regime: AQE broadcasts the MB-sized gram set from
+    // measured size, so NO join in the final plan sort-merges — pass A
+    // is map-side and the pool grams are never exchanged for it
+    val plan = explicit.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+  }
+
   test("q119 shuffleShards: per-epoch bijection, contiguous per-shard positions, epochs differ") {
     def manifest(epoch: Int) = CorpusOps.shuffleShards(spark, SharedSpark.sf, epoch = epoch)
       .as[(Long, Int, Long)].collect()
