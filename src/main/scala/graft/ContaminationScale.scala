@@ -33,8 +33,11 @@ object ContaminationScale {
     println(s"[contamination-scale] bench docs = ${bench.count()}")
     (1 to reps).foreach { rep =>
       val t0 = System.nanoTime()
-      // the checksum forces the full report (text recovery included);
-      // count() alone would let column pruning drop pass B's gram column
+      // the checksum pins the report's CONTENT, not just its shape:
+      // gram is a groupBy key, so a bare count() already forces pass
+      // B's text recovery — but summing gram lengths + occurrence
+      // counts makes the cross-scale bit-identity check explicit and
+      // guards future report-shape changes
       val r = operators.CorpusOps
         .contaminationSpansAgainst(s, pool, bench)
         .agg(count(lit(1)).as("rows"),

@@ -240,6 +240,9 @@ object SparkEntry {
     "q117_weighted_sample"   -> ((s, d) => CorpusOps.weightedSample(s, d)),
     // span-level contamination report (which grams, where, how often)
     "q118_contamination_spans" -> ((s, d) => CorpusOps.contaminationSpans(s, d)),
+    // q118's deployment regime: explicit bounded benchmark relation —
+    // unhinted bench side, AQE broadcasts pass A (no-SMJ spec-pinned)
+    "q118b_contamination_bounded" -> ((s, d) => CorpusOps.contaminationBounded(s, d)),
     // epoch-deterministic shard/order manifest for distributed loaders
     "q119_shuffle_shards"    -> ((s, d) => CorpusOps.shuffleShards(s, d)),
     // DoReMi-style multiplicative domain reweighting (linearized MW, ppm)
@@ -1564,6 +1567,20 @@ object SparkEntry {
         |ORDER BY key_e9 DESC, doc_id LIMIT 100""".stripMargin,
     // span-level contamination: q59's semantics with gram text + position
     "q118_contamination_spans" ->
+      """WITH t AS (SELECT doc_id, source,
+        |   list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents),
+        |g AS (SELECT doc_id, source, i - 1 AS pos,
+        |        array_to_string(ts[i:i+7], ' ') AS gram
+        |      FROM t, LATERAL unnest(generate_series(1, len(ts) - 7)) AS u(i)
+        |      WHERE len(ts) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+        |SELECT doc_id, gram, min(pos) AS first_pos, count(*) AS n_occ
+        |FROM g WHERE source <> 'src0' AND gram IN (SELECT gram FROM bench)
+        |GROUP BY 1, 2 ORDER BY doc_id, gram""".stripMargin,
+    // the bounded-benchmark deployment regime computes EXACTLY q118's
+    // report (same pool, same bench content, different join plan) — so
+    // it shares q118's oracle verbatim, bench as its own relation
+    "q118b_contamination_bounded" ->
       """WITH t AS (SELECT doc_id, source,
         |   list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents),
         |g AS (SELECT doc_id, source, i - 1 AS pos,

@@ -955,6 +955,27 @@ object CorpusOps {
       n = n, benchGrowsWithCorpus = true)
   }
 
+  /** [[contaminationSpans]] in its DEPLOYMENT regime, as a registry
+    * query: the SAME report, but the benchmark is fed as an explicit
+    * BOUNDED relation (here the src0 slice standing in for a real
+    * MB-sized eval suite — a deployment passes its own table to
+    * [[contaminationSpansAgainst]]). No merge hint rides the bench
+    * side, so AQE broadcasts its gram set from measured size and pass
+    * A is a map-side join: the pool is scanned, never exchanged. The
+    * no-SortMergeJoin final plan is spec-pinned on this registry path
+    * (CorpusSelectionSpec); ContaminationScale measured the regime
+    * 9.6× linear at 50 M docs vs the hinted sort-merge's 12.7×.
+    * Output is bit-identical to [[contaminationSpans]] — it shares
+    * q118's oracle.
+    */
+  def contaminationBounded(s: SparkSession, d: String, n: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, d)
+    contaminationSpansAgainst(s,
+      pool = docs.filter(col("source") =!= "src0"),
+      bench = docs.filter(col("source") === "src0"),
+      n = n) // benchGrowsWithCorpus stays false: the bounded regime
+  }
+
   /** [[contaminationSpans]] against an EXPLICIT benchmark table — the
     * deployment form: a real eval suite is its own (MB-sized) corpus,
     * not a slice of the training pool. With
