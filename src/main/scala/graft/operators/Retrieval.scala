@@ -61,8 +61,11 @@ object Retrieval {
     graft.DirKeys.contentStamp(
       java.nio.file.Paths.get(d, "documents.parquet").toString)
 
+  /** `<pathdigest>_<stampdigest>` — the split generation key lets
+    * [[graft.WarehouseGC]] delete superseded generations (see
+    * [[graft.DirKeys.generation]]). */
   private[graft] def tbl(kind: String, d: String): String =
-    s"graft_invidx_${kind}_${graft.DirKeys.digest(d, docStamp(d))}"
+    s"graft_invidx_${kind}_${graft.DirKeys.generation(d, "documents.parquet")}"
 
   /** (doc_id, dl, token) occurrences — dl (whitespace-token doc length)
     * rides the explode so tf aggregation can carry it as `max(dl)` and
@@ -236,6 +239,10 @@ object Retrieval {
   def buildIndex(s: SparkSession, d: String): Unit = {
     recoverCompacting(s, d)
     if (reattachIndex(s, d)) return
+    // a (re)build means every previous generation of this dir's
+    // persisted artifacts is superseded — reclaim them (build-time
+    // metadata work, never on the reattach/probe path)
+    graft.WarehouseGC.sweep(s, d)
     clearIndex(s, d)
     writeSegment(s, Tables.documents(s, d), d, "overwrite")
     writeMeta(s, d)
@@ -419,6 +426,41 @@ object Retrieval {
         s.sql(s"ALTER TABLE `$tmp` RENAME TO `$t`")
       }
     } finally s.conf.set(AutoKey, prevAuto)
+  }
+
+  /** [[compact]] only when it would change the layout. A bucketed
+    * write lands tasks×touched-buckets files, so a fresh build (or any
+    * append since the last compaction) exceeds one file per bucket and
+    * compacts; a table already at ≤ [[Buckets]] data files per kind is
+    * left untouched — the Bench pre-pass calls this every invocation,
+    * and an unconditional rewrite is minutes of work at 50 M docs for
+    * a layout that cannot improve. Crash recovery still runs first (a
+    * surviving `_compacting` staging dir must be resolved regardless).
+    * Returns true iff a rewrite ran — the idempotence a spec pins
+    * (second call on an unchanged index returns false).
+    */
+  def compactIfNeeded(s: SparkSession, d: String): Boolean = {
+    recoverCompacting(s, d)
+    val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+    def dataFiles(t: String): Long = {
+      val dir = java.nio.file.Paths.get(wh, t)
+      if (!java.nio.file.Files.isDirectory(dir)) 0L
+      else {
+        val walk = java.nio.file.Files.list(dir)
+        try walk.filter(p => {
+          val n = p.getFileName.toString
+          java.nio.file.Files.isRegularFile(p) &&
+            !n.startsWith("_") && !n.startsWith(".")
+        }).count()
+        finally walk.close()
+      }
+    }
+    val needed = IndexKinds.exists { kind =>
+      val t = tbl(kind, d)
+      s.catalog.tableExists(t) && dataFiles(t) > Buckets
+    }
+    if (needed) compact(s, d)
+    needed
   }
 
   /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &

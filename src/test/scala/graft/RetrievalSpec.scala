@@ -245,6 +245,41 @@ class RetrievalSpec extends AnyFunSuite {
     assert(probeRows(d) == ref)
   }
 
+  test("compactIfNeeded: rewrites a fragmented index once, then no-ops without touching a file") {
+    val d = stageDir(corpus100)
+    Retrieval.buildIndex(spark, d)
+    val whp = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def postingFiles: Seq[(String, Long, Long)] = {
+      val p = java.nio.file.Paths.get(whp, Retrieval.tbl("postings", d))
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(q => q.getFileName.toString.startsWith("part-"))
+          .map(q => (p.relativize(q).toString, java.nio.file.Files.size(q),
+            java.nio.file.Files.getLastModifiedTime(q).toMillis))
+          .toSeq.sortBy(_._1)
+      } finally walk.close()
+    }
+    // fragment past one-file-per-bucket so the first call must rewrite
+    var i = 0
+    while (postingFiles.size <= Retrieval.Buckets && i < 40) {
+      Retrieval.append(spark, batch((9500L + 5 * i) to (9504L + 5 * i)), d)
+      i += 1
+    }
+    assert(postingFiles.size > Retrieval.Buckets)
+    val probe1 = probeRows(d)
+    assert(Retrieval.compactIfNeeded(spark, d)) // fragmented → rewrite
+    assert(postingFiles.size <= Retrieval.Buckets) // one file per bucket
+    // already compact → no-op: returns false and no file is rewritten
+    // (the Bench pre-pass runs this every invocation — idempotence is
+    // what keeps it cheap at 50 M docs)
+    val snap = postingFiles
+    assert(!Retrieval.compactIfNeeded(spark, d))
+    assert(postingFiles == snap)
+    assert(probeRows(d) == probe1)
+  }
+
   // ---- registry contract / reattach validation (the round-6 q113b
   // regression class: a reattached index is a COMPLETE build over SOME
   // doc set; corpus EQUIVALENCE is a separate check) ----
