@@ -24,6 +24,30 @@ object DirKeys {
       .digest((canonical(d) +: salt).mkString("|").getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
 
+  /** 16-hex-char sha-256 of an arbitrary string — NO path
+    * canonicalization (that's [[digest]]'s job). Used to render a
+    * [[contentStamp]] as a fixed-width name component.
+    */
+  def hex16(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+
+  /** Generation key of a persisted artifact namespace: the data dir's
+    * path digest and its source file's freshness stamp as SEPARATE
+    * 16-hex components (`<pathdigest>_<stampdigest>`), instead of one
+    * digest folding both. Separating them is what makes garbage
+    * collectible: [[WarehouseGC]] recomputes the LIVE pair from the
+    * source path alone and can classify any warehouse dir as
+    * live / stale-generation / other-data-dir without a registry of
+    * past stamps (the round-7 finding: stamp rolls orphaned every
+    * previous generation on disk, unboundedly).
+    */
+  def generation(d: String, sourceFileName: String): String = {
+    val src = java.nio.file.Paths.get(d, sourceFileName).toString
+    s"${digest(d)}_${hex16(contentStamp(src))}"
+  }
+
   /** Freshness stamp of a source data file or parquet directory: an
     * order-insensitive digest of every regular file's relative name,
     * size and mtime (or size_mtime for a plain file). Every persisted

@@ -52,9 +52,7 @@ object Cdc {
     * `o_custkey`; bucket layout is per-key by nature.
     */
   private[graft] def bucketedOrdersTbl(d: String, key: String): String =
-    s"graft_cdcbase_${key}_${graft.DirKeys.digest(d,
-      graft.DirKeys.contentStamp(
-        java.nio.file.Paths.get(d, "orders.parquet").toString))}"
+    s"graft_cdcbase_${key}_${graft.DirKeys.generation(d, "orders.parquet")}"
 
   /** Bucket count sized to the TABLE, not a constant: ~256 MB of source
     * parquet per bucket (floor 32, cap 4096). A bucketed side removes
@@ -86,6 +84,7 @@ object Cdc {
   private[graft] def bucketedOrders(s: SparkSession, d: String, key: String): DataFrame = {
     val t = bucketedOrdersTbl(d, key)
     if (!s.catalog.tableExists(t)) {
+      graft.WarehouseGC.sweep(s, d) // superseded generations die at build time
       // clear a stale warehouse dir from a previous JVM (in-memory
       // catalog forgets managed tables on exit; saveAsTable would fail
       // on the leftover non-empty location)

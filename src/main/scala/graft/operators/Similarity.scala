@@ -320,9 +320,9 @@ object Similarity {
 
   private def ivfStableDir(s: SparkSession, d: String, cells: Int,
                            iters: Int): java.nio.file.Path = {
-    val dig = graft.DirKeys.digest(d, embStamp(d))
+    val gen = graft.DirKeys.generation(d, "embeddings.parquet")
     val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
-    java.nio.file.Paths.get(wh, s"graft_ivfidx_${dig}_${cells}_$iters")
+    java.nio.file.Paths.get(wh, s"graft_ivfidx_${gen}_${cells}_$iters")
   }
 
   /** Trained codebook for (dir, cells, iters) — the offline-training
@@ -535,7 +535,10 @@ object Similarity {
       val p = ivfStableDir(s, d, cells, iters)
       val complete = java.nio.file.Files.exists(p.resolve("vectors/_SUCCESS")) &&
         java.nio.file.Files.exists(p.resolve("codebook/_SUCCESS"))
-      if (!complete) buildIvfIndex(s, d, p.toString, cells, iters)
+      if (!complete) {
+        graft.WarehouseGC.sweep(s, d) // superseded generations die at build time
+        buildIvfIndex(s, d, p.toString, cells, iters)
+      }
       p.toString
     })
 

@@ -535,7 +535,7 @@ object StreamOps {
       java.nio.file.Paths.get(d, "documents.parquet").toString)
 
   private[graft] def corpusTbl(kind: String, d: String): String =
-    s"graft_strmcorp_${kind}_${graft.DirKeys.digest(d, corpusStamp(d))}"
+    s"graft_strmcorp_${kind}_${graft.DirKeys.generation(d, "documents.parquet")}"
 
   /** The maintainer's probed state tables and their bucket keys.
     * `bench` is written ONCE (the benchmark decontamination set pre-exists
@@ -704,6 +704,7 @@ object StreamOps {
       // means a fresh checkpoint and a full replay, so any same-named
       // tables from a previous JVM are dropped (with their stale
       // warehouse dirs — the in-memory catalog forgets them on exit).
+      graft.WarehouseGC.sweep(s, d) // superseded generations die at build time
       val sigCols = (0 until Dedup.MinhashPerms).map(i => lit(0L).as(s"m$i"))
       def seedTable(df: DataFrame, kind: String, key: String): Unit = {
         val tn = corpusTbl(kind, d)
