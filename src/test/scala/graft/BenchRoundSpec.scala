@@ -29,6 +29,27 @@ class BenchRoundSpec extends AnyFunSuite {
     assert(Bench.inferRound(Some(""), Nil) === None)
   }
 
+  test("persistFile: explicit round overwrites the canonical record deliberately") {
+    assert(Bench.persistFile(Some("8"), Seq("BENCH_r07.json"),
+      Seq("bench_full_r8.json"), "123") === Some("bench_full_r8.json"))
+  }
+
+  test("persistFile: inferred round writes canonical only when absent") {
+    assert(Bench.persistFile(None, Seq("BENCH_r07.json"),
+      Seq("bench_full_r7.json"), "123") === Some("bench_full_r8.json"))
+  }
+
+  test("persistFile: inferred round NEVER clobbers an existing record — side-stamped") {
+    // the round-7 incident: driver ran Bench before BENCH_r07 landed,
+    // inferred round 7, and overwrote the committed bench_full_r7.json
+    assert(Bench.persistFile(None, Seq("BENCH_r06.json"),
+      Seq("bench_full_r7.json"), "123") === Some("bench_full_r7_123.json"))
+  }
+
+  test("persistFile: no signal at all still fails closed") {
+    assert(Bench.persistFile(None, Seq("SURVEY.md"), Nil, "123") === None)
+  }
+
   test("timedReps: a throwing rep records -1.0, never its time-to-failure") {
     var calls = 0
     val ts = Bench.timedReps("qx", 3) { () =>
