@@ -32,6 +32,9 @@ import org.apache.spark.sql.functions._
   * to one per bucket and cut probes 7-9× at 5 M docs.
   *
   * Usage: runMain graft.RetrievalScale <sfDir> [nAppends] [batchRows] [reps]
+  * Special nAppends values: 0 = non-mutating build/compact/probe point;
+  * -1 = reattach pricing (run in a fresh JVM after a build run —
+  * reattach, first validated registry probe, memoized steady probe).
   */
 object RetrievalScale {
   def main(args: Array[String]): Unit = {
@@ -82,6 +85,25 @@ object RetrievalScale {
       val walk = java.nio.file.Files.walk(p)
       try walk.filter(f => f.toString.endsWith(".parquet")).count()
       finally walk.close()
+    }
+
+    // nAppends=-1 → reattach pricing, run in a FRESH JVM after a build
+    // run: re-registering the surviving index (no rebuild), the
+    // once-per-JVM corpus-equivalence validation the registry contract
+    // pays on its first probe, and the memoized steady probe. These are
+    // the numbers round 7 measured by hand in sbt console; this mode
+    // gives them committed script provenance (round-7 ADVICE).
+    if (nAppends < 0) {
+      timed("reattach")(operators.Retrieval.buildIndex(s, dir))
+      def validatedProbe(stage: String): Unit = timed(s"registry_probe_$stage") {
+        val row = operators.Retrieval.bm25Indexed(s, dir) // validateCorpus=true
+          .agg(round(sum(col("score")), 4).as("chk"), count(lit(1)).as("n"))
+          .collect()(0)
+        println(s"[retrieval-scale]   chk=${row.get(0)} n=${row.getLong(1)}")
+      }
+      validatedProbe("first") // pays ensureCorpusExact's two id scans
+      validatedProbe("steady") // memoized: index-only probe
+      s.stop(); return
     }
 
     timed("build")(operators.Retrieval.buildIndex(s, dir))

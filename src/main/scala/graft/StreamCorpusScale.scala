@@ -26,8 +26,14 @@ object StreamCorpusScale {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress
-        if (p.numInputRows > 0) times.synchronized {
-          times += ((p.batchId, p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3))
+        if (p.numInputRows > 0) {
+          val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
+          times.synchronized { times += ((p.batchId, sec)) }
+          // incremental line per batch: a run killed by a campaign
+          // timeout still leaves its curve in the log (the summary JSON
+          // below only prints at completion)
+          System.err.println(
+            f"[stream-corpus-scale] batch ${p.batchId}%d: $sec%.1f s (${p.numInputRows}%d rows)")
         }
       }
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
