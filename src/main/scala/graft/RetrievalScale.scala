@@ -46,9 +46,13 @@ object RetrievalScale {
     val s = GraftSession.local(cpus)
     s.sparkContext.setLogLevel("WARN")
 
-    // append lifecycle mutates its index: work on a scratch corpus copy
+    // append lifecycle mutates its index: work on a scratch corpus copy.
+    // The non-mutating modes (0 = build/compact/probe, -1 = reattach
+    // pricing) use the dir directly — the -1 mode MUST, or the path
+    // digest rolls and there is no index to reattach (round-8 find: the
+    // first -1 run copied to scratch and silently re-measured a build).
     val dir =
-      if (nAppends == 0) srcDir
+      if (nAppends <= 0) srcDir
       else {
         val t = java.nio.file.Files.createTempDirectory("graft_retrscale_")
         t.toFile.deleteOnExit()

@@ -24,9 +24,15 @@ clean_scratch() { rm -rf /dev/shm/graft_scratch /root/repo/target/scratch; }
 stamp() { echo "=== $1 $(date +%H:%M:%S), disk free: $(df -h / | tail -1 | awk '{print $4}') ===" >> "$OUT"; }
 # run <name> <timeout_s> <marker_regex> <logfile> -- <sbt main + args…>
 # Fails the campaign (exit 1, artifacts left for debugging) when the
-# stage exits non-zero or its log lacks the expected marker.
+# stage exits non-zero or its log lacks the expected marker. With
+# RESUME=1, a stage whose done-stamp is already in $OUT is skipped —
+# a failed campaign re-runs only its incomplete tail.
 run_stage() {
   local name=$1 tmo=$2 marker=$3 log=$4; shift 4
+  if [ "${RESUME:-0}" = "1" ] && grep -aq "=== $name done" "$OUT" 2>/dev/null; then
+    echo "=== $name skipped (already done, resume) ===" >> "$OUT"
+    return 0
+  fi
   stamp "$name start"
   timeout "$tmo" sbt -batch "$@" > "$log" 2>&1
   local rc=$?
@@ -41,7 +47,7 @@ run_stage() {
   stamp "$name done"
 }
 
-: > "$OUT"
+[ "${RESUME:-0}" = "1" ] || : > "$OUT"
 
 # --- 1. the 50 M-doc corpus (generated here, not assumed) ---
 if [ ! -d "$CORPUS" ]; then
