@@ -56,6 +56,7 @@ object RetrievalScale {
       else {
         val t = java.nio.file.Files.createTempDirectory("graft_retrscale_")
         t.toFile.deleteOnExit()
+        WarehouseGC.registerScratchPurge(s, t.toString) // scratch index lineage dies with the JVM
         val from = java.nio.file.Paths.get(srcDir, "documents.parquet")
         val to = t.resolve("documents.parquet")
         java.nio.file.Files.createDirectories(to)

@@ -63,6 +63,90 @@ object WarehouseGC {
     }
   }
 
+  /** Delete every generation EVER minted for data dir `d`, any stamp —
+    * the cleanup for SCRATCH corpora (test fixtures, measurement
+    * copies) whose source dirs vanish at JVM exit: [[sweep]] can never
+    * reclaim them later because computing the live stamp needs the
+    * source, so the stager declares the whole lineage disposable
+    * up front. Filesystem-only (no catalog calls): safe from a JVM
+    * shutdown hook after the session has closed. Returns deleted names.
+    */
+  def purgeScratch(warehouse: java.nio.file.Path, d: String): Seq[String] = {
+    if (!java.nio.file.Files.isDirectory(warehouse)) return Nil
+    val pathDig = DirKeys.digest(d)
+    val list = java.nio.file.Files.list(warehouse)
+    val mine =
+      try {
+        import scala.jdk.CollectionConverters._
+        list.iterator().asScala.map(_.getFileName.toString)
+          .filter { n =>
+            Families.exists { case (fam, _) => n.startsWith(fam) } && {
+              val parts = n.split('_')
+              val i = parts.indexOf(pathDig)
+              i >= 0 && i + 1 < parts.length && parts(i + 1).matches(Hex16)
+            }
+          }.toSeq
+      } finally list.close()
+    mine.foreach { name =>
+      val dir = warehouse.resolve(name)
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    mine
+  }
+
+  /** Arrange [[purgeScratch]] for scratch dir `d` at JVM exit. The
+    * warehouse path is resolved NOW — the session may be stopped by
+    * the time the hook runs. */
+  def registerScratchPurge(s: SparkSession, d: String): Unit = {
+    val wh = java.nio.file.Paths.get(
+      java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath)
+    sys.addShutdownHook { purgeScratch(wh, d); () }
+  }
+
+  /** Delete every family dir whose path digest matches NONE of the
+    * `known` corpus roots — the explicit maintenance pass for scratch
+    * lineages left by sessions that predate [[registerScratchPurge]]:
+    * their temp source dirs are gone, so no sweep or hook can ever
+    * identify them again. Destructive by declaration — the caller
+    * lists every corpus root whose artifacts must survive (`runMain
+    * graft.Gc --prune-unknown dir…`). Pre-generation-scheme names
+    * (no `<hex16>_<hex16>` pair) are unknown by construction.
+    */
+  def pruneUnknown(s: SparkSession, known: Seq[String]): Seq[String] = {
+    val wh = java.nio.file.Paths.get(
+      java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath)
+    if (!java.nio.file.Files.isDirectory(wh)) return Nil
+    val digs = known.map(d => DirKeys.digest(d)).toSet
+    val list = java.nio.file.Files.list(wh)
+    val unknown =
+      try {
+        import scala.jdk.CollectionConverters._
+        list.iterator().asScala.map(_.getFileName.toString)
+          .filter { n =>
+            Families.exists { case (fam, _) => n.startsWith(fam) } && {
+              val parts = n.split('_')
+              !parts.indices.init.exists(i =>
+                digs.contains(parts(i)) && parts(i + 1).matches(Hex16))
+            }
+          }.toSeq
+      } finally list.close()
+    unknown.map { name =>
+      try s.sql(s"DROP TABLE IF EXISTS `$name`")
+      catch { case _: Throwable => () }
+      val dir = wh.resolve(name)
+      if (java.nio.file.Files.exists(dir)) {
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      name
+    }
+  }
+
   /** Sweep every family's superseded generations for data dir `d`.
     * Returns the deleted dir names (empty when nothing was stale).
     * Also drops any same-named catalog entry this session still holds,
@@ -105,13 +189,17 @@ object WarehouseGC {
 }
 
 /** Maintenance main: sweep superseded index generations for the given
-  * data dirs (default: the driver's three testdata SFs).
-  * `runMain graft.Gc [dir ...]`
+  * data dirs (default: the driver's three testdata SFs). With
+  * `--prune-unknown`, additionally delete family dirs minted for any
+  * OTHER corpus root — the one-time cleanup for scratch lineages whose
+  * temp source dirs no longer exist (list every root to keep!).
+  * `runMain graft.Gc [--prune-unknown] [dir ...]`
   */
 object Gc {
   def main(args: Array[String]): Unit = {
+    val (flags, given) = args.partition(_.startsWith("--"))
     val dirs =
-      if (args.nonEmpty) args.toSeq
+      if (given.nonEmpty) given.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
         "/root/testdata/sf0.1")
     val s = GraftSession.local(
@@ -119,6 +207,11 @@ object Gc {
     dirs.foreach { d =>
       val gone = WarehouseGC.sweep(s, d)
       println(s"gc: $d — removed ${gone.size} superseded generation dir(s)" +
+        (if (gone.nonEmpty) gone.mkString(": ", ", ", "") else ""))
+    }
+    if (flags.contains("--prune-unknown")) {
+      val gone = WarehouseGC.pruneUnknown(s, dirs)
+      println(s"gc: pruned ${gone.size} dir(s) from unknown corpus roots" +
         (if (gone.nonEmpty) gone.mkString(": ", ", ", "") else ""))
     }
     s.stop()

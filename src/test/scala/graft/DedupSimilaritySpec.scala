@@ -332,6 +332,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // regenerates testdata between rounds; a live JVM must notice)
     val t = java.nio.file.Files.createTempDirectory("graft_cbstamp_")
     t.toFile.deleteOnExit()
+    WarehouseGC.registerScratchPurge(spark, t.toString) // ivfidx lineage dies with the JVM
     val out = t.resolve("embeddings.parquet").toString
     val src = spark.read.parquet(sf + "/embeddings.parquet")
     src.write.mode("overwrite").parquet(out)

@@ -45,6 +45,8 @@ class LshIndexSpec extends AnyFunSuite {
     java.nio.file.Files.createSymbolicLink(
       t.resolve("documents.parquet"),
       java.nio.file.Paths.get(sf, "documents.parquet").toRealPath())
+    // scratch corpus → purge its warehouse lineage at JVM exit
+    WarehouseGC.registerScratchPurge(spark, t.toString)
     t.toString
   }
   private lazy val linkedDir: String = newLinkedDir()

@@ -114,6 +114,9 @@ class RetrievalSpec extends AnyFunSuite {
   private def stageDir(docs: org.apache.spark.sql.DataFrame): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_invidx_spec").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // scratch corpus: its warehouse lineage can never be swept once the
+    // temp dir vanishes — purge it at JVM exit
+    WarehouseGC.registerScratchPurge(spark, dir)
     dir
   }
 

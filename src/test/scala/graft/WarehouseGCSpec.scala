@@ -83,8 +83,56 @@ class WarehouseGCSpec extends AnyFunSuite {
     }
   }
 
+  test("purgeScratch: removes the scratch dir's whole lineage (any stamp), leaves others") {
+    val d = java.nio.file.Files.createTempDirectory("graft_purge_spec").toString
+    val pathDig = DirKeys.digest(d)
+    def mk(name: String): java.nio.file.Path = {
+      val p = wh.resolve(name)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve("part-0"), Array[Byte](1))
+      p
+    }
+    val mine1 = mk(s"graft_invidx_postings_${pathDig}_$S1")
+    val mine2 = mk(s"graft_lshidx_bands_${pathDig}_$S2") // different stamp: still mine
+    val other = mk(s"graft_invidx_postings_${S2}_$S1")
+    val gone = WarehouseGC.purgeScratch(wh, d).toSet
+    assert(gone == Set(mine1, mine2).map(_.getFileName.toString))
+    assert(!java.nio.file.Files.exists(mine1) && !java.nio.file.Files.exists(mine2))
+    assert(java.nio.file.Files.exists(other))
+    java.nio.file.Files.deleteIfExists(other.resolve("part-0"))
+    java.nio.file.Files.deleteIfExists(other)
+  }
+
+  test("pruneUnknown: keeps known roots' generations, removes unknown-root and legacy dirs") {
+    val known = java.nio.file.Files.createTempDirectory("graft_known_root").toString
+    val knownDig = DirKeys.digest(known)
+    def mk(name: String): java.nio.file.Path = {
+      val p = wh.resolve(name)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve("part-0"), Array[Byte](1))
+      p
+    }
+    val keep = mk(s"graft_invidx_postings_${knownDig}_$S1")
+    val goneUnknown = mk(s"graft_invidx_postings_${S2}_$S1")
+    val goneLegacy = mk(s"graft_lshidx_sigs_$S2")
+    // every root whose artifacts must survive is listed — incl. the
+    // shared test SF and the standard corpus roots other suites use
+    val gone = WarehouseGC.pruneUnknown(spark, Seq(known, SharedSpark.sf,
+      "/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1", "/root/repo/target/sf1000_docs",
+      "/root/repo/target/sf500_docs")).toSet
+    assert(Set(goneUnknown, goneLegacy).map(_.getFileName.toString).subsetOf(gone))
+    assert(!gone.contains(keep.getFileName.toString))
+    assert(java.nio.file.Files.exists(keep))
+    assert(!java.nio.file.Files.exists(goneUnknown) &&
+      !java.nio.file.Files.exists(goneLegacy))
+    java.nio.file.Files.deleteIfExists(keep.resolve("part-0"))
+    java.nio.file.Files.deleteIfExists(keep)
+  }
+
   test("regenerate-rebuild cycle: exactly one live generation per family, dir count stops growing") {
     val d = java.nio.file.Files.createTempDirectory("graft_gc_cycle").toString
+    WarehouseGC.registerScratchPurge(spark, d) // this spec practices what it preaches
     def corpus(n: Int) = Tables.documents(spark, SharedSpark.sf)
       .select("doc_id", "text", "source").filter(col("doc_id") < n)
     def regenerate(n: Int): Unit = corpus(n)
