@@ -23,16 +23,20 @@ object Bench {
     * overwrote the committed 98.4 s artifact with its own rerun — so
     * when the canonical file already exists it lands side-stamped
     * (`bench_full_r<n>_<stamp>.json`) instead. None = no round signal
-    * at all (fail closed, don't persist). Pure; BenchRoundSpec.
+    * at all (fail closed, don't persist). Returns the file name WITH
+    * its classification (true = side-stamped) — the caller must not
+    * re-derive it from the name shape (round-8 advice: an underscore-
+    * count heuristic misclassifies a round string containing one).
+    * Pure; BenchRoundSpec.
     */
   private[graft] def persistFile(env: Option[String], repoFiles: Seq[String],
                                  benchFiles: Seq[String],
-                                 stamp: String): Option[String] = {
+                                 stamp: String): Option[(String, Boolean)] = {
     val explicit = env.exists(_.nonEmpty)
     inferRound(env, repoFiles).map { r =>
       val canonical = s"bench_full_r$r.json"
-      if (explicit || !benchFiles.contains(canonical)) canonical
-      else s"bench_full_r${r}_$stamp.json"
+      if (explicit || !benchFiles.contains(canonical)) (canonical, false)
+      else (s"bench_full_r${r}_$stamp.json", true)
     }
   }
 
@@ -193,8 +197,8 @@ object Bench {
           .map(_.getName),
         Option(dir.listFiles).toSeq.flatten.map(_.getName),
         stamp = System.currentTimeMillis.toString) match {
-        case Some(name) =>
-          if (name.count(_ == '_') > 2) // side-stamped, not canonical
+        case Some((name, sideStamped)) =>
+          if (sideStamped)
             System.err.println(s"bench: round inferred and canonical record " +
               s"exists — writing $name (set SPARK_GRAFT_ROUND to overwrite)")
           java.nio.file.Files.write(new java.io.File(dir, name).toPath,

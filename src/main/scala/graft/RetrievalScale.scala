@@ -99,7 +99,11 @@ object RetrievalScale {
     // the numbers round 7 measured by hand in sbt console; this mode
     // gives them committed script provenance (round-7 ADVICE).
     if (nAppends < 0) {
-      timed("reattach")(operators.Retrieval.buildIndex(s, dir))
+      // reattachOrFail, not buildIndex: with no surviving generation
+      // (wrong run order, stamp rolled) buildIndex would silently do a
+      // FULL build and this mode would record it as 'reattach' — abort
+      // loudly instead (round-8 advice)
+      timed("reattach")(operators.Retrieval.reattachOrFail(s, dir))
       def validatedProbe(stage: String): Unit = timed(s"registry_probe_$stage") {
         val row = operators.Retrieval.bm25Indexed(s, dir) // validateCorpus=true
           .agg(round(sum(col("score")), 4).as("chk"), count(lit(1)).as("n"))

@@ -277,6 +277,23 @@ object SparkEntry {
       |WHERE c.op IS NULL OR c.op <> 'D'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The span-contamination oracle, shared by q118 (corpus-derived
+    * adversarial regime) and q118b (bounded-benchmark deployment
+    * regime) — the two differ in JOIN PLAN, never in semantics, so one
+    * definition keeps them from drifting apart under a future edit.
+    */
+  private val contaminationSpansSql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |   list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents),
+      |g AS (SELECT doc_id, source, i - 1 AS pos,
+      |        array_to_string(ts[i:i+7], ' ') AS gram
+      |      FROM t, LATERAL unnest(generate_series(1, len(ts) - 7)) AS u(i)
+      |      WHERE len(ts) >= 8),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+      |SELECT doc_id, gram, min(pos) AS first_pos, count(*) AS n_occ
+      |FROM g WHERE source <> 'src0' AND gram IN (SELECT gram FROM bench)
+      |GROUP BY 1, 2 ORDER BY doc_id, gram""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
       """WITH m AS (
@@ -1566,31 +1583,11 @@ object SparkEntry {
         |SELECT doc_id, w_ppm, key_e9 FROM k
         |ORDER BY key_e9 DESC, doc_id LIMIT 100""".stripMargin,
     // span-level contamination: q59's semantics with gram text + position
-    "q118_contamination_spans" ->
-      """WITH t AS (SELECT doc_id, source,
-        |   list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents),
-        |g AS (SELECT doc_id, source, i - 1 AS pos,
-        |        array_to_string(ts[i:i+7], ' ') AS gram
-        |      FROM t, LATERAL unnest(generate_series(1, len(ts) - 7)) AS u(i)
-        |      WHERE len(ts) >= 8),
-        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
-        |SELECT doc_id, gram, min(pos) AS first_pos, count(*) AS n_occ
-        |FROM g WHERE source <> 'src0' AND gram IN (SELECT gram FROM bench)
-        |GROUP BY 1, 2 ORDER BY doc_id, gram""".stripMargin,
+    "q118_contamination_spans" -> contaminationSpansSql,
     // the bounded-benchmark deployment regime computes EXACTLY q118's
     // report (same pool, same bench content, different join plan) — so
-    // it shares q118's oracle verbatim, bench as its own relation
-    "q118b_contamination_bounded" ->
-      """WITH t AS (SELECT doc_id, source,
-        |   list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents),
-        |g AS (SELECT doc_id, source, i - 1 AS pos,
-        |        array_to_string(ts[i:i+7], ' ') AS gram
-        |      FROM t, LATERAL unnest(generate_series(1, len(ts) - 7)) AS u(i)
-        |      WHERE len(ts) >= 8),
-        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
-        |SELECT doc_id, gram, min(pos) AS first_pos, count(*) AS n_occ
-        |FROM g WHERE source <> 'src0' AND gram IN (SELECT gram FROM bench)
-        |GROUP BY 1, 2 ORDER BY doc_id, gram""".stripMargin,
+    // it shares q118's oracle, bench as its own relation
+    "q118b_contamination_bounded" -> contaminationSpansSql,
     // epoch-keyed md5 permutation (epoch 0), shard = key mod 8, position
     // = within-shard row_number — the loader manifest, RNG-free
     "q119_shuffle_shards" ->

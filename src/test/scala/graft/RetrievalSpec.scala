@@ -274,6 +274,24 @@ class RetrievalSpec extends AnyFunSuite {
     val probe1 = probeRows(d)
     assert(Retrieval.compactIfNeeded(spark, d)) // fragmented → rewrite
     assert(postingFiles.size <= Retrieval.Buckets) // one file per bucket
+    // the no-op guarantee needs EVERY kind at <= Buckets data files
+    // after a compact — if any kind ever exceeded it, each Bench
+    // invocation would silently re-trigger the full rewrite forever
+    // (round-8 advice). stats is unbucketed and coalesced to ONE file;
+    // the bucketed kinds land at most one file per bucket.
+    def dataFilesOf(kind: String): Long = {
+      val p = java.nio.file.Paths.get(whp, Retrieval.tbl(kind, d))
+      val walk = java.nio.file.Files.list(p)
+      try walk.filter(q => {
+        val n = q.getFileName.toString
+        java.nio.file.Files.isRegularFile(q) &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }).count()
+      finally walk.close()
+    }
+    assert(dataFilesOf("stats") === 1L)
+    assert(dataFilesOf("postings") <= Retrieval.Buckets)
+    assert(dataFilesOf("committed") <= Retrieval.Buckets)
     // already compact → no-op: returns false and no file is rewritten
     // (the Bench pre-pass runs this every invocation — idempotence is
     // what keeps it cheap at 50 M docs)

@@ -1,0 +1,101 @@
+#!/bin/bash
+# Round-9 measurement campaign (VERDICT r8 asks #2 and #4):
+#  1. ISOLATED REPEAT=3 re-measure of the r8 full-suite movers + the
+#     most expensive sf0.1 queries (q107 +48% adjudication — ask #2),
+#     on a quiet machine, BEFORE anything heavy runs. The JSON line
+#     lands as bench/bench_isolated_r9.json: a noise-robust per-query
+#     side-record next to the canonical full-suite artifact.
+#  2. The round-9 full-suite record (REPEAT=2, SPARK_GRAFT_ROUND=9).
+#  3. Generate the 25 M-doc corpus and replay q64s WITH mid-replay
+#     state compaction (compactEvery=3): fold committed batch
+#     partitions into the base during the replay, measure per-batch
+#     cost, free-disk floor and the state file-count tail against the
+#     round-7 UNcompacted 25 M baseline (ask #4).
+# Stage pattern from campaign_r8.sh: exit code + output marker checked
+# before any destructive cleanup; RESUME=1 skips done stages.
+set -u
+OUT=${1:-/root/repo/bench/campaign_r9.log}
+SCRATCH="/dev/shm/graft_scratch,/root/repo/target/scratch"
+CORPUS=/root/repo/target/sf500_docs
+cd /root/repo
+
+clean_scratch() { rm -rf /dev/shm/graft_scratch /root/repo/target/scratch; }
+stamp() { echo "=== $1 $(date +%H:%M:%S), disk free: $(df -h / | tail -1 | awk '{print $4}') ===" >> "$OUT"; }
+run_stage() {
+  local name=$1 tmo=$2 marker=$3 log=$4; shift 4
+  if [ "${RESUME:-0}" = "1" ] && grep -aq "=== $name done" "$OUT" 2>/dev/null; then
+    echo "=== $name skipped (already done, resume) ===" >> "$OUT"
+    return 0
+  fi
+  stamp "$name start"
+  timeout "$tmo" sbt -batch "$@" > "$log" 2>&1
+  local rc=$?
+  if [ $rc -ne 0 ]; then
+    echo "STAGE FAILED: $name rc=$rc (timeout=$tmo) — aborting, artifacts kept" >> "$OUT"
+    exit 1
+  fi
+  if ! grep -aq "$marker" "$log"; then
+    echo "STAGE FAILED: $name exited 0 but marker '$marker' absent from $log — aborting" >> "$OUT"
+    exit 1
+  fi
+  stamp "$name done"
+}
+
+[ "${RESUME:-0}" = "1" ] || : > "$OUT"
+
+# movers named by the r8 judge (q107 q53 q64 q80) + the rest of the
+# top-10 most expensive r8 queries + the two next-largest movers
+ISOLATED="q107_dedup_keep_best q64_training_corpus q57_char_ngram_jaccard \
+q56_deduped_corpus q55b_dedup_embedding_lsh_full q52b_simhash_mirror \
+q53_ngram_jaccard q82_containment q89_pagerank q38_stream_neardup_suppress \
+q80_semdedup q116_rrf_fusion"
+
+# --- 1. isolated REPEAT=3 re-measure on a quiet machine ---
+if [ "${RESUME:-0}" = "1" ] && grep -aq "=== bench_isolated done" "$OUT" 2>/dev/null; then
+  echo "=== bench_isolated skipped (already done, resume) ===" >> "$OUT"
+else
+  clean_scratch
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  SPARK_DRIVER_MEM=24g SPARK_GRAFT_REPEAT=3 \
+  SPARK_GRAFT_LOCAL_DIR="$SCRATCH" \
+    run_stage bench_isolated 3600 '"metric":"total"' /tmp/bench_isolated_r9.log \
+    "runMain graft.Bench $ISOLATED"
+  grep -a '"metric":"total"' /tmp/bench_isolated_r9.log | tail -1 \
+    > /root/repo/bench/bench_isolated_r9.json
+fi
+
+# --- 2. the canonical round-9 full-suite record ---
+clean_scratch
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+SPARK_DRIVER_MEM=24g SPARK_GRAFT_REPEAT=2 SPARK_GRAFT_ROUND=9 \
+SPARK_GRAFT_LOCAL_DIR="$SCRATCH" \
+  run_stage bench_full_r9 5400 '"metric":"total"' /tmp/bench_full_r9.log \
+  "runMain graft.Bench"
+
+# --- 3. the 25 M-doc corpus (generated here, not assumed) ---
+if [ ! -d "$CORPUS/documents.parquet" ]; then
+  clean_scratch
+  SPARK_GRAFT_SCALE_MULTI=1 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=32g \
+    run_stage gen_25m_corpus 3600 "success.*Total time" /tmp/gen25m_r9.log \
+    "runMain graft.Scale /root/testdata/sf0.1 $CORPUS 5000 documents"
+  if [ ! -d "$CORPUS/documents.parquet" ]; then
+    echo "STAGE FAILED: gen_25m_corpus left no $CORPUS/documents.parquet — aborting" >> "$OUT"
+    exit 1
+  fi
+  stamp "25m corpus at $CORPUS ($(du -sh $CORPUS | cut -f1))"
+fi
+
+# --- 4. q64s replay at 25 M docs WITH mid-replay compaction every 3
+#     batches (vs the round-7 uncompacted 25 M baseline in SCALE.md) ---
+clean_scratch
+SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=40g SPARK_GRAFT_LOCAL_DIR="$SCRATCH" \
+  run_stage stream_corpus_25m_folded 10800 '"metric":"stream_corpus_batches"' \
+  /tmp/streamcorpus_25m_r9.log \
+  "runMain graft.StreamCorpusScale $CORPUS 10 3"
+grep -a "stream-corpus-scale\|stream-corpus\]\|\"metric\"" /tmp/streamcorpus_25m_r9.log >> "$OUT"
+
+# --- cleanup (only reached when every stage passed its checks) ---
+rm -rf "$CORPUS" spark-warehouse/graft_strmcorp_* /tmp/graft_stream_corpus_*
+clean_scratch
+stamp "campaign artifacts cleaned"
+echo "campaign done $(date)" >> "$OUT"
