@@ -77,6 +77,19 @@ object GraftSession {
     // k merge rounds) retains its checkpoint until application exit. Must
     // be set at SparkConf time (ContextCleaner reads it at construction).
     .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+    // Generated-class cache, default 100 entries — sized for a handful
+    // of queries, not an analytics ENGINE serving a large query library
+    // from one long-lived session. Once the library's distinct codegen'd
+    // stages exceed the cache, every further lookup is a Janino
+    // recompile (~100-300 ms); batch queries amortize one recompile per
+    // run, but STREAMING micro-batches re-plan per trigger, so a
+    // thrashing cache taxes every batch of every stream — measured in
+    // round 9 as the full 138-query suite inflating per-micro-batch
+    // streaming queries 5-12× (q36 2.4 s isolated vs 28.8 s in-suite)
+    // while the same queries read in-band in any ≤12-query session.
+    // Static conf: must be set before the session exists.
+    .config("spark.sql.codegen.cache.maxEntries",
+      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
     .config("spark.ui.enabled", "false")
   }
 

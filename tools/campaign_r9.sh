@@ -15,7 +15,13 @@
 # before any destructive cleanup; RESUME=1 skips done stages.
 set -u
 OUT=${1:-/root/repo/bench/campaign_r9.log}
+# striped scratch ONLY for the 50 M-class replay (the round-6 lesson:
+# tmpfs-only next to a 40 g heap OOM-killed); the sf0.1 BENCH stages
+# must use tmpfs-only scratch like every prior round's record — the
+# first r9 launch striped them onto disk and read a uniform ~2x
+# slowdown that was entirely shuffle-on-vda, not code
 SCRATCH="/dev/shm/graft_scratch,/root/repo/target/scratch"
+BENCH_SCRATCH="/dev/shm/graft_scratch"
 CORPUS=/root/repo/target/sf500_docs
 cd /root/repo
 
@@ -57,7 +63,7 @@ else
   clean_scratch
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   SPARK_DRIVER_MEM=24g SPARK_GRAFT_REPEAT=3 \
-  SPARK_GRAFT_LOCAL_DIR="$SCRATCH" \
+  SPARK_GRAFT_LOCAL_DIR="$BENCH_SCRATCH" \
     run_stage bench_isolated 3600 '"metric":"total"' /tmp/bench_isolated_r9.log \
     "runMain graft.Bench $ISOLATED"
   grep -a '"metric":"total"' /tmp/bench_isolated_r9.log | tail -1 \
@@ -68,7 +74,7 @@ fi
 clean_scratch
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
 SPARK_DRIVER_MEM=24g SPARK_GRAFT_REPEAT=2 SPARK_GRAFT_ROUND=9 \
-SPARK_GRAFT_LOCAL_DIR="$SCRATCH" \
+SPARK_GRAFT_LOCAL_DIR="$BENCH_SCRATCH" \
   run_stage bench_full_r9 5400 '"metric":"total"' /tmp/bench_full_r9.log \
   "runMain graft.Bench"
 
