@@ -155,6 +155,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("AQEShuffleRead coalesced"), plan.take(3000))
   }
 
+  test("codegen cache is sized to the query library, not the 100-entry default") {
+    // Round-9 find: past the generated-class cache size, every codegen
+    // lookup is a Janino recompile — amortized once per run by batch
+    // queries, but paid EVERY MICRO-BATCH by streaming (re-planned per
+    // trigger) and every iteration by lineage-truncated loops (q107's
+    // resolveClusters). The 138-query suite thrashed the default and
+    // inflated the streaming family 5-12× (q36: 2.4 s isolated vs
+    // 28.8 s in-suite); a long-lived session serving a library must
+    // size the cache to the library. Static conf — assert the session
+    // was BUILT with it, a getOrCreate-time regression otherwise.
+    assert(spark.conf.get("spark.sql.codegen.cache.maxEntries").toInt >= 4000)
+  }
+
   test("fuzzy matching verifies on the distinct-name grid, not raw rows") {
     val df = graft.operators.TextAnalysis.fuzzyPairs(spark, sf)
     val plan = df.queryExecution.optimizedPlan
