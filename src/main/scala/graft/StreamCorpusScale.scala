@@ -12,8 +12,11 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   *
   * With `compactEvery > 0` the maintainer folds its committed state
   * partitions into the base every k batches DURING the replay (the
-  * round-8 judge ask): each per-batch line carries the box's free disk
-  * and the state tables' parquet-file count, so the peak-disk and
+  * round-8 judge ask); `compactEvery = -1` uses the LSM-style size
+  * trigger instead (fold when the batch partitions have accumulated
+  * the base's bytes — O(S log S) total rewrite spend vs fixed-k's
+  * O(crawls²)). Each per-batch line carries the box's free disk and
+  * the state tables' parquet-file count, so the peak-disk and
   * file-count-tail effect of mid-replay compaction is directly
   * readable against an uncompacted run of the same corpus.
   *

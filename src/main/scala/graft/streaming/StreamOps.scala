@@ -640,6 +640,47 @@ object StreamOps {
     } finally s.conf.set(AutoKey, prevAuto)
   }
 
+  /** Payload bytes of the maintainer's state tables, split into the
+    * folded base (`batch=-1`) and the committed batch partitions below
+    * `curBatch` (a `batch >= curBatch` partition is a crashed attempt
+    * of the in-flight batch — owned by the replay contract, not by
+    * compaction). Driver-side metadata: one directory walk per table.
+    */
+  private def corpusStateBytes(s: SparkSession, d: String,
+                               curBatch: Long): (Long, Long) = {
+    val wh = java.nio.file.Paths.get(java.net.URI.create(
+      s.conf.get("spark.sql.warehouse.dir")).getPath)
+    def bytes(p: java.nio.file.Path): Long = {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size(_)).sum
+      } finally walk.close()
+    }
+    var base = 0L
+    var batches = 0L
+    CorpusStateKinds.foreach { case (kind, _) =>
+      val t = wh.resolve(corpusTbl(kind, d))
+      if (java.nio.file.Files.isDirectory(t)) {
+        val list = java.nio.file.Files.list(t)
+        try {
+          import scala.jdk.CollectionConverters._
+          list.iterator().asScala.foreach { p =>
+            val n = p.getFileName.toString
+            if (n.startsWith("batch=")) n.stripPrefix("batch=").toLongOption match {
+              case Some(-1L) => base += bytes(p)
+              case Some(b) if b < curBatch => batches += bytes(p)
+              case _ => ()
+            }
+          }
+        } finally list.close()
+      }
+    }
+    (base, batches)
+  }
+
   /** STREAMING form of the q64 training-corpus pipeline — the one
     * mandated composition previously expressed only one-shot: documents
     * replayed as an ascending-doc_id micro-batch feed (a crawl's arrival
@@ -786,13 +827,31 @@ object StreamOps {
           // crawl-per-day deployment accumulates batches × buckets
           // files per state table, and at 50 M docs the batch=<id>
           // partition tail peaked the box's disk — fold the COMMITTED
-          // partitions into the base every compactEvery batches, FROM
-          // INSIDE the closure, before this batch reads any state.
-          // Safe because foreachBatch is sequential (every batch < this
-          // one has committed, so its fold is final) and keepFrom
-          // preserves any crashed attempt's own partition for the
-          // replay contract — see compactCorpusState's scaladoc.
-          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          // partitions into the base, FROM INSIDE the closure, before
+          // this batch reads any state. Safe because foreachBatch is
+          // sequential (every batch < this one has committed, so its
+          // fold is final) and keepFrom preserves any crashed attempt's
+          // own partition for the replay contract — see
+          // compactCorpusState's scaladoc.
+          //
+          // Two cadences: compactEvery = k > 0 folds every k batches —
+          // but each fold REWRITES THE WHOLE accumulated state, so a
+          // fixed cadence spends O(crawls²) total rewrite bytes over a
+          // long crawl history. compactEvery = -1 is the LSM-style
+          // size trigger: fold only when the committed batch partitions
+          // have accumulated at least the base's bytes, so each fold at
+          // least doubles the base and the total rewrite spend is
+          // O(S log S) in final state size — the cadence a standing
+          // deployment wants. Trigger evaluation is driver-side
+          // metadata (one walk per state table).
+          val foldDue =
+            batchId > 0 && (
+              (compactEvery > 0 && batchId % compactEvery == 0) ||
+              (compactEvery == -1 && {
+                val (base, batches) = corpusStateBytes(sb, d, batchId)
+                batches > 0 && batches >= base
+              }))
+          if (foldDue) {
             val t0 = System.nanoTime()
             compactCorpusState(sb, d, keepFrom = batchId)
             System.err.println(f"[stream-corpus] mid-replay state fold at " +

@@ -186,6 +186,20 @@ class StreamPacingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a warm pass over the mid-folded state still lands on the corpus
     assert(StreamOps.trainingCorpusStream(spark, a)
       .collect().map(_.toSeq) === plain)
+
+    // compactEvery = -1 (LSM-style size trigger: fold when the batch
+    // partitions have accumulated the base's bytes) — same corpus, and
+    // at least one fold fired (the batch-partition set is smaller than
+    // the uncompacted run's full {-1,0,1,2,3}): a batch's five state
+    // tables outweigh the seed-time benchmark base, so the first
+    // eligible batch must trigger
+    val c = stage()
+    val adaptive = StreamOps.trainingCorpusStream(spark, c, nFiles = 4,
+      compactEvery = -1).collect().map(_.toSeq)
+    assert(adaptive === plain)
+    val aBatches = spark.table(StreamOps.corpusTbl("bands", c))
+      .select("batch").distinct().count()
+    assert(aBatches < 5, s"no adaptive fold fired ($aBatches partitions)")
   }
 
   test("session windows merge identically across micro-batch boundaries") {
