@@ -32,19 +32,25 @@ object StreamCorpusScale {
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    def stateFiles(): Long = {
-      val wh = java.nio.file.Paths.get(java.net.URI.create(
-        spark.conf.get("spark.sql.warehouse.dir")).getPath)
-      graft.streaming.StreamOps.CorpusStateKinds.map { case (kind, _) =>
-        val dir = wh.resolve(graft.streaming.StreamOps.corpusTbl(kind, sfDir))
-        if (!java.nio.file.Files.isDirectory(dir)) 0L
-        else {
-          val walk = java.nio.file.Files.walk(dir)
-          try walk.filter(_.toString.endsWith(".parquet")).count()
-          finally walk.close()
-        }
-      }.sum
-    }
+    // Counted from the listener thread, which runs ASYNC to the stream:
+    // the next batch's mid-replay fold may be rewriting a table during
+    // the walk, and a file deleted mid-walk throws — swallow to -1
+    // rather than lose the batch's curve line (the count is a
+    // diagnostic; the timing is the measurement).
+    def stateFiles(): Long =
+      try {
+        val wh = java.nio.file.Paths.get(java.net.URI.create(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath)
+        graft.streaming.StreamOps.CorpusStateKinds.map { case (kind, _) =>
+          val dir = wh.resolve(graft.streaming.StreamOps.corpusTbl(kind, sfDir))
+          if (!java.nio.file.Files.isDirectory(dir)) 0L
+          else {
+            val walk = java.nio.file.Files.walk(dir)
+            try walk.filter(_.toString.endsWith(".parquet")).count()
+            finally walk.close()
+          }
+        }.sum
+      } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => -1L }
     def freeGb: Double = new java.io.File("/").getFreeSpace / 1e9
     val times = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     var minFreeGb = freeGb
