@@ -88,8 +88,13 @@ object GraftSession {
     // streaming queries 5-12× (q36 2.4 s isolated vs 28.8 s in-suite)
     // while the same queries read in-band in any ≤12-query session.
     // Static conf: must be set before the session exists.
+    // The env override is a raise-only dial: PlanSpec pins that any
+    // session was BUILT with >= 4000, so a value below the floor would
+    // fail the suite in a way that reads as a code regression rather
+    // than a config conflict — clamp instead of trusting the caller.
     .config("spark.sql.codegen.cache.maxEntries",
-      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
+      math.max(4000,
+        sys.env.get("SPARK_GRAFT_CODEGEN_CACHE").map(_.toInt).getOrElse(4000)).toString)
     .config("spark.ui.enabled", "false")
   }
 

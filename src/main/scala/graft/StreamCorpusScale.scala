@@ -81,10 +81,15 @@ object StreamCorpusScale {
       .trainingCorpusStream(spark, sfDir, nFiles = nFiles,
         compactEvery = compactEvery).count()
     val total = (System.nanoTime() - t0) / 1e9
-    val js = times.synchronized {
-      times.sortBy(_._1).map { case (b, s) => s""""$b":$s""" }.mkString(",")
+    // minFreeGb is written under times.synchronized by the async listener
+    // thread — read it under the same lock as the perBatch snapshot (the
+    // last batch's progress event may still lag count(); that event-lag
+    // is documented noise, the torn read was the bug)
+    val (js, minFree) = times.synchronized {
+      (times.sortBy(_._1).map { case (b, s) => s""""$b":$s""" }.mkString(","),
+        minFreeGb)
     }
-    println(s"""{"metric":"stream_corpus_batches","unit":"sec","nFiles":$nFiles,"compactEvery":$compactEvery,"corpus_rows":$rows,"total":$total,"minFreeGb":${f"$minFreeGb%.1f"},"finalStateFiles":${stateFiles()},"perBatch":{$js},"sf":"$sfDir"}""")
+    println(s"""{"metric":"stream_corpus_batches","unit":"sec","nFiles":$nFiles,"compactEvery":$compactEvery,"corpus_rows":$rows,"total":$total,"minFreeGb":${f"$minFree%.1f"},"finalStateFiles":${stateFiles()},"perBatch":{$js},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

