@@ -83,6 +83,46 @@ class WarehouseGCSpec extends AnyFunSuite {
     }
   }
 
+  test("sweep reports reclaimed bytes for MANAGED tables (measured before the DROP deletes the dir)") {
+    // Round-9 advice: DROP TABLE deletes a managed table's warehouse dir
+    // BEFORE the post-drop mop-up walk runs, so byte accounting done
+    // during deletion reported ~0 for exactly the catalog-managed
+    // generations the reclaim log exists to surface. Payload is now
+    // measured before the drop — pin it with a managed-table fixture.
+    val d = java.nio.file.Files.createTempDirectory("graft_gc_bytes_spec").toString
+    Tables.documents(spark, SharedSpark.sf).select("doc_id", "text")
+      .filter(col("doc_id") < 40)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val pathDig = DirKeys.digest(d)
+    val staleName = s"graft_invidx_postings_${pathDig}_$S2"
+    if (spark.catalog.tableExists(staleName)) spark.sql(s"DROP TABLE `$staleName`")
+    spark.range(100).selectExpr("id", "repeat('x', 200) AS pad")
+      .write.mode("overwrite").format("parquet").saveAsTable(staleName)
+    val dir = wh.resolve(staleName)
+    assert(java.nio.file.Files.isDirectory(dir)) // managed: lives in the warehouse
+    val payload = {
+      val walk = java.nio.file.Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size(_)).sum
+      } finally walk.close()
+    }
+    assert(payload > 0)
+    val buf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(buf, true))
+    val gone = try WarehouseGC.sweep(spark, d) finally System.setErr(realErr)
+    realErr.print(buf.toString) // keep the sweep line visible in the log
+    assert(gone.contains(staleName))
+    assert(!spark.catalog.tableExists(staleName)) // catalog entry dropped
+    assert(!java.nio.file.Files.exists(dir))
+    val reported = "swept \\d+ superseded dir\\(s\\) \\((\\d+) bytes\\)".r
+      .findFirstMatchIn(buf.toString).map(_.group(1).toLong)
+    assert(reported.exists(_ >= payload),
+      s"sweep reported $reported bytes; managed fixture alone held $payload:\n$buf")
+  }
+
   test("purgeScratch: removes the scratch dir's whole lineage (any stamp), leaves others") {
     val d = java.nio.file.Files.createTempDirectory("graft_purge_spec").toString
     val pathDig = DirKeys.digest(d)
