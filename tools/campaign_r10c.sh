@@ -54,8 +54,11 @@ run_stage() {
   fi
   stamp "$name done"
 }
-record() { # tag logfile
-  grep -a '"metric":"total"' "$2" | tail -1 | sed "s/^/{\"point\":\"$1\"} /" >> "$REC"
+# the "sf" field in the metric line (sf100_li / sf400_li) plus the query
+# keys already identify each point — keep the file valid JSONL
+record() { # tag logfile (tag is for the campaign log only)
+  grep -a '"metric":"total"' "$2" | tail -1 | sed 's/^\[info\] //' >> "$REC"
+  echo "recorded $1" >> "$OUT"
 }
 
 [ "${RESUME:-0}" = "1" ] || { : > "$OUT"; : > "$REC"; }
