@@ -75,9 +75,13 @@ object CorpusOps {
     val bench = shingleHashes(docs.filter(col("source") === "src0"), n)
       .select(col("h")).distinct()
     val corpus = shingleHashes(docs.filter(col("source") =!= "src0"), n)
+    // h is DISTINCT per doc by construction (shingleHashes explodes an
+    // array_distinct), and the bench side is distinct, so the semi-join
+    // match count IS the distinct count — plain count drops the distinct
+    // rewrite's extra dedup exchange (guide §2.4; oracle unchanged).
     corpus.join(bench, "h")
       .groupBy(col("doc_id"))
-      .agg(count_distinct(col("h")).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
   }
 
@@ -215,9 +219,11 @@ object CorpusOps {
       .head().getAs[Array[Byte]](0)
     val corpus = shingleHashes(docs.filter(col("source") =!= "src0"), n)
       .filter(graft.plans.GraftFunctions.bloomContains(lit(sketch), col("h")))
+    // count ≡ count_distinct here for the same reason as [[decontaminate]]
+    // (per-doc-distinct h) — one exchange fewer on the survivors.
     corpus.join(bench, "h")
       .groupBy(col("doc_id"))
-      .agg(count_distinct(col("h")).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
   }
 

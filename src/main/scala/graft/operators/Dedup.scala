@@ -80,13 +80,18 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "y2"), col("y") === col("y2"))
         .groupBy(col("x").as("doc_id"))
         .agg(min(col("rep")).as("nrep"))
+      // Carry the previous label through the update so convergence is a
+      // FILTER on the already-truncated result: the earlier form ran the
+      // join+agg pipeline twice per iteration (once under the separate
+      // changed-check join, once again under truncate) — cut the lineage
+      // first, then read the materialized blocks for both the check and
+      // the next iteration's labels.
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
-        .filter(col("u.rep") =!= col("l.rep")).limit(1).count() > 0
-      labels = graft.Lineage.truncate(updated) // cut the iterative lineage
-      converged = !changed
+        .select(col("doc_id"), col("rep").as("prev"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+      val mat = graft.Lineage.truncate(updated) // cut the iterative lineage
+      converged = mat.filter(col("rep") =!= col("prev")).limit(1).isEmpty
+      labels = mat.select(col("doc_id"), col("rep"))
       i += 1
     }
     labels

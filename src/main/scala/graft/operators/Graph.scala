@@ -52,15 +52,19 @@ object Graph {
     // Lineage.truncate = localCheckpoint by default, RELIABLE checkpoint
     // under spark.graft.checkpointDir (survives executor loss on a real
     // cluster — results identical, spec-asserted).
-    val edges = graft.Lineage.truncate(supplyEdges(s, d))
-    val deg = graft.Lineage.truncate(
-      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    // edges⋈outdeg is ITERATION-INVARIANT — materialize the joined form
+    // once instead of re-joining the degree table inside every round
+    // (one corpus-sized join per iteration removed; same rows, so the
+    // engine-exact oracle is untouched).
+    val edges0 = graft.Lineage.truncate(supplyEdges(s, d))
+    val edges = graft.Lineage.truncate(
+      edges0.join(
+        edges0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src"))
     val nodes = graft.Lineage.truncate(
       edges.select(col("src").as("node")).distinct())
     var ranks = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to iters) {
       val contrib = edges
-        .join(deg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
