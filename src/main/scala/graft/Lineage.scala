@@ -64,14 +64,25 @@ object Lineage {
   def truncateTo(df: DataFrame,
                  level: org.apache.spark.storage.StorageLevel): DataFrame = {
     val s = df.sparkSession
+    if (s.conf.get(NoTruncateKey, "false") == "true") return df
     s.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(_) => truncate(df)
       case None => df.localCheckpoint(eager = true, storageLevel = level)
     }
   }
 
+  /** Plan-dump escape hatch: `spark.graft.lineage.noTruncate=true` makes
+    * every truncate a no-op so `explain` shows the FULL logical pipeline
+    * instead of `Scan ExistingRDD` stubs (round-10 advice: the dumped
+    * evidence for iterative/truncating queries was uninformative). Never
+    * set during real execution — iterative operators would re-execute
+    * their whole lineage per round.
+    */
+  val NoTruncateKey = "spark.graft.lineage.noTruncate"
+
   def truncate(df: DataFrame): DataFrame = {
     val s = df.sparkSession
+    if (s.conf.get(NoTruncateKey, "false") == "true") return df
     s.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = s.sparkContext

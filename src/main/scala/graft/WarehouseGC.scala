@@ -38,6 +38,7 @@ object WarehouseGC {
   private[graft] val Families: Seq[(String, String)] = Seq(
     "graft_invidx_" -> "documents.parquet",
     "graft_lshidx_" -> "documents.parquet",
+    "graft_ddidx_" -> "documents.parquet",
     "graft_strmcorp_" -> "documents.parquet",
     "graft_cdcbase_" -> "orders.parquet",
     "graft_ivfidx_" -> "embeddings.parquet")

@@ -25,27 +25,42 @@ object Dedup {
     * (true pairs ≫ τ) the output equals the exhaustive computation.
     */
   def charNgramJaccard(s: SparkSession, d: String, tau: Double = 0.6): DataFrame = {
-    val n = 5
-    // stride-2 w-shingling: every 2nd gram position — half the shingle
-    // volume, same near-dup separation (dups share the strided set too).
-    // ROW-LOCAL like shinglesOf: in-array gram hashes → array_distinct →
-    // explode (h is doc-keyed, so per-doc distinct ≡ the old global
-    // `.distinct()`), removing the engine's largest distinct exchange —
-    // char-gram tables are the biggest exploded tables it builds. Reuse
-    // across consumers is the materializeShingles dial (minhashLshPairs).
-    val ex = Tables.documents(s, d)
+    // Index probe (default): char-gram features are the engine's largest
+    // exploded tables, so reading them from the persisted bucketed layout
+    // (DedupIndex: offline write-once work) instead of re-extracting them
+    // from corpus text per run is the biggest single §6 reuse win — the
+    // candidate self-join AND the verification joins plan zero index-side
+    // exchange. Recompute twin below (dial; spec-pinned row-identical).
+    if (DedupIndex.useIndex(s)) {
+      DedupIndex.ensureChar(s, d)
+      indexedLshPairs(tau,
+        bands = s.table(DedupIndex.tbl("cbands", d)),
+        sig = s.table(DedupIndex.tbl("csig", d)),
+        exD = s.table(DedupIndex.tbl("cshd", d)),
+        sizes = s.table(DedupIndex.tbl("csizes", d)))
+    } else {
+      val ex = charShinglesOf(Tables.documents(s, d))
+      // signatures come row-local (CharGramMinhash, bit-identical to the
+      // 64-min-agg over ex — spec-asserted); ex stays for verification.
+      minhashLshPairs(ex, tau, Some(signaturesRowLevelChar(
+        Tables.documents(s, d), 5, 2)),
+        materializeEx = materializeShingles(s, d))
+    }
+  }
+
+  /** Char 5-gram stride-2 w-shingling: every 2nd gram position — half the
+    * shingle volume, same near-dup separation (dups share the strided set
+    * too). ROW-LOCAL like shinglesOf: in-array gram hashes →
+    * array_distinct → explode (h is doc-keyed, so per-doc distinct ≡ a
+    * global `.distinct()`), removing the engine's largest distinct
+    * exchange. Shared by the q57 recompute path and the DedupIndex build.
+    */
+  private[graft] def charShinglesOf(docs: DataFrame, n: Int = 5): DataFrame =
+    docs
       .filter(length(col("text")) >= n)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(1, length(text) - ${n - 1}, 2), i -> xxhash64(substring(text, i, $n)))")))
         .as("h"))
-    // signatures come row-local (CharGramMinhash, bit-identical to the
-    // 64-min-agg over ex — spec-asserted); char-gram tables are the
-    // largest exploded tables in the engine, so skipping their signature
-    // shuffle matters most here. ex stays for exact verification only.
-    minhashLshPairs(ex, tau, Some(signaturesRowLevelChar(
-      Tables.documents(s, d), n, 2)),
-      materializeEx = materializeShingles(s, d))
-  }
 
   /** Char-gram analog of [[signaturesRowLevel]]. */
   private[graft] def signaturesRowLevelChar(docs: DataFrame, n: Int,
@@ -319,13 +334,22 @@ object Dedup {
     */
   private def interAndSizes(s: SparkSession, d: String,
                             dfCap: Int): (DataFrame, DataFrame) = {
-    // Row-local shingling has no exchange to reuse across the four
-    // consumers below, so sharing is the materializeShingles dial's job:
-    // truncated (serialized blocks) while it fits, recomputed at
-    // scan-speed per consumer when it doesn't.
-    val exRaw = explodedShingles(s, d)
-    val ex = if (materializeShingles(s, d)) exRaw.truncated else exRaw
-    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // Index probe (default): the persisted `wshh` table is bucketed and
+    // sorted on `h`, so the rare-shingle SELF-join below — the operator's
+    // dominant cost — and the df(h) aggregate both plan ZERO exchange and
+    // no sort; `wsizes` replaces the per-run sizes aggregation outright.
+    // Recompute twin behind the dial: row-local shingling shared across
+    // the four consumers via the materializeShingles dial as before.
+    val (ex, sizes) =
+      if (DedupIndex.useIndex(s)) {
+        DedupIndex.ensureWord(s, d)
+        (s.table(DedupIndex.tbl("wshh", d)),
+          s.table(DedupIndex.tbl("wsizes", d)))
+      } else {
+        val exRaw = explodedShingles(s, d)
+        val ex0 = if (materializeShingles(s, d)) exRaw.truncated else exRaw
+        (ex0, ex0.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")))
+      }
     // The effective cap is a corpus FRACTION, not an absolute df: df
     // grows with corpus size, so a fixed cap reclassifies ever more
     // shingles as hot at scale and the per-doc hot-set arrays balloon
@@ -451,13 +475,54 @@ object Dedup {
     * recall (~1.0 at j≈0.98 with 16×4 banding).
     */
   def minhashLsh(s: SparkSession, d: String, tau: Double = 0.5): DataFrame =
-    // word-gram path: signatures come from the row-local codegen
-    // expression (bit-identical to the shingle-table aggregation,
-    // spec-asserted) — the 64-min-agg shuffle disappears and the shingle
-    // table is only materialized for exact verification.
-    minhashLshPairs(explodedShingles(s, d), tau,
-      Some(signaturesRowLevel(Tables.documents(s, d))),
-      materializeEx = materializeShingles(s, d))
+    // Index probe (default): signatures, band keys, shingles and sizes
+    // come from the persisted full-corpus layout (DedupIndex) — the
+    // candidate self-join plans zero exchange on both sides and corpus
+    // text is never read. Feeds q51 and every composite on top of it
+    // (q56/q64/q107/q115). Recompute twin behind the dial: the row-local
+    // signature expression (bit-identical to the shingle-table
+    // aggregation, spec-asserted) with query-local shingle sharing.
+    if (DedupIndex.useIndex(s)) {
+      DedupIndex.ensureWord(s, d)
+      indexedLshPairs(tau,
+        bands = s.table(DedupIndex.tbl("wbands", d)),
+        sig = s.table(DedupIndex.tbl("wsig", d)),
+        exD = s.table(DedupIndex.tbl("wshd", d)),
+        sizes = s.table(DedupIndex.tbl("wsizes", d)))
+    } else
+      minhashLshPairs(explodedShingles(s, d), tau,
+        Some(signaturesRowLevel(Tables.documents(s, d))),
+        materializeEx = materializeShingles(s, d))
+
+  /** The LSH pair pipeline over PERSISTED index tables — same three
+    * stages as [[minhashLshPairs]] (banded candidates → signature-
+    * agreement pre-filter → exact-Jaccard verification), each stage a
+    * probe of a bucketed table instead of a recomputed intermediate.
+    * Candidates join on `bkey` ALONE (the LshIndex.probe argument: the
+    * band id is hashed INTO bkey, a cross-band bkey equality needs a
+    * 64-bit xxhash collision, and any phantom candidate dies in exact
+    * verification — output unchanged), so the self-join needs no
+    * exchange and no sort on either side. The sig/shingle sides keep the
+    * merge hints of the recompute path: with bucketed inputs the SMJ is
+    * exchange-free AND sort-free on the index side, and stays spillable
+    * at any scale (the 5 M-doc SHJ-build lesson).
+    */
+  private def indexedLshPairs(tau: Double, bands: DataFrame,
+                              sig: DataFrame, exD: DataFrame,
+                              sizes: DataFrame): DataFrame = {
+    val candRaw = bands.as("a").join(bands.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .dropDuplicates("a", "b")
+    val agree = agreement("sa", "sb")
+    val minAgree = math.max(0, math.ceil((tau - 0.25) * MinhashPerms).toInt)
+    val cand = candRaw
+      .join(sig.as("sa").hint("merge"), col("a") === col("sa.doc_id"))
+      .join(sig.as("sb").hint("merge"), col("b") === col("sb.doc_id"))
+      .filter(agree >= minAgree)
+      .select(col("a"), col("b"))
+    verifyExactJaccard(exD, cand, sizes, tau)
+  }
 
   /** Cross-source duplication matrix: for every unordered source pair,
     * the number of exact-verified near-dup pairs (jaccard ≥ τ) with one
@@ -743,9 +808,40 @@ object Dedup {
     */
   def simhashPairsMirrorable(s: SparkSession, d: String,
                              maxHamming: Int = 3): DataFrame = {
+    // Index probe (default): the signature computation — an md5 per token
+    // plus a 32-conditional-sum aggregate over every token occurrence —
+    // is the operator's whole cost and is corpus-invariant, so it lives
+    // in the persisted `mchunks` layout (DedupIndex); the timed query is
+    // the chunk-equality self-join, which the (ckey, chunk) bucketing
+    // plans with zero exchange and no sort. Recompute twin behind the
+    // dial (spec-pinned row-identical).
+    val ch =
+      if (DedupIndex.useIndex(s)) {
+        DedupIndex.ensureMirror(s, d)
+        s.table(DedupIndex.tbl("mchunks", d))
+      } else mirrorChunksOf(Tables.documents(s, d))
+    // ckey leads the predicate so the required SMJ ordering matches the
+    // persisted (ckey, chunk) sort — equality key order is join-semantics
+    // neutral.
+    ch.as("a").join(ch.as("b"),
+        col("a.ckey") === col("b.ckey") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+  }
+
+  /** The q52b signature machinery — (doc_id, simhash, chunk, ckey), one
+    * row per 8-bit chunk of the 32-bit mirrorable simhash. Shared by the
+    * recompute path and the DedupIndex `mchunks` build.
+    */
+  private[graft] def mirrorChunksOf(docs: DataFrame): DataFrame = {
     val bits = 32
     val chunks = 4
-    val tok = Tables.documents(s, d)
+    val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .filter(length(col("t")) > 0)
       .withColumn("m", md5(col("t")))
@@ -769,18 +865,9 @@ object Dedup {
     val chunkKeys = (0 until chunks).map(j =>
       shiftrightunsigned(col("simhash"), j * (bits / chunks))
         .bitwiseAND(lit((1L << (bits / chunks)) - 1)))
-    val ch = sig.select(
+    sig.select(
       col("doc_id"), col("simhash"),
       posexplode(array(chunkKeys: _*)).as(Seq("chunk", "ckey")))
-    ch.as("a").join(ch.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("a"), col("b.doc_id").as("b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-      .dropDuplicates("a", "b")
-      .filter(col("hamming") <= maxHamming)
-      .orderBy("a", "b")
   }
 
   /** Embedding near-dup with LSH-bucket blocking — the metadata-free
