@@ -875,15 +875,40 @@ object Dedup {
     * (plus would-be 1-bit probes at higher recall settings), so cost is
     * Σ_bucket n_b² instead of n².
     */
+  /** Pair-grid width for the bucket self-join below. The join's
+    * parallelism is the number of distinct key values — exactly ONE in
+    * the bits=0 exhaustive-bridge case (q55b), where the whole O(n²)
+    * scoring pass collapsed onto a single task (measured 277 s at sf1 on
+    * 32 cores — zero parallel speedup). Salting the key with a
+    * deterministic grid coordinate (§2.5: synthetic partitioning keys)
+    * restores ≥ PairGrid-way parallelism at ANY bucket cardinality while
+    * the pair set — and therefore every output row — is invariant to the
+    * grid. Not a core-count constant: a parallelism FLOOR for degenerate
+    * bucket distributions; AQE coalesces the empties on small inputs.
+    */
+  private val PairGrid = 32L
+
   def embeddingCosineLsh(s: SparkSession, d: String, tau: Double = 0.3,
                          bits: Int = 8): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         Similarity.lshBucket(col("embedding"), bits).as("bucket"),
-        GraftFunctions.norm(col("embedding")).as("nrm"))
-    e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        GraftFunctions.norm(col("embedding")).as("nrm"),
+        pmod(col("vec_id"), lit(PairGrid)).as("g"))
+    // Every unordered pair (a,b) with a.vec_id < b.vec_id still forms
+    // exactly once: the a side is lifted across all grid cells and the
+    // equi key matches the cell carrying b's coordinate. The merge hint
+    // is load-bearing: without it the planner broadcasts the b side and
+    // streams the exploded a side over the SCAN's partitioning — one
+    // parquet split ⇒ still one task (measured 400 s at sf1: the grid's
+    // replication paid, its parallelism not). Forcing the shuffle plans
+    // both sides' exchanges on (bucket, grid), which is where the
+    // parallelism actually comes from; AQE skew-split stays applicable.
+    val ea = e.withColumn("gj", explode(sequence(lit(0L), lit(PairGrid - 1))))
+    ea.as("a").join(e.as("b").hint("merge"),
+        col("a.bucket") === col("b.bucket") && col("a.gj") === col("b.g") &&
+        col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", round(
         GraftFunctions.dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm")), 4))

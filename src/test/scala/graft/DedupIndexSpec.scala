@@ -56,6 +56,29 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("q55b pair-grid salt: identical rows to an exhaustive cross join") {
+    // round-11 parallelism fix: the bucket self-join key gained a grid
+    // coordinate (bits=0 degenerated to ONE join key = one task). The
+    // pair set — and every scored row — must be invariant to the grid.
+    import graft.plans.GraftFunctions
+    import org.apache.spark.sql.functions._
+    val got = operators.Dedup.embeddingCosineLsh(spark, sf, tau = 0.3, bits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        GraftFunctions.norm(col("embedding")).as("nrm"))
+    val ref = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(
+        GraftFunctions.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 4))
+      .filter(col("cos") >= 0.3)
+      .select(col("a.vec_id"), col("b.vec_id"), col("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(got.nonEmpty && got === ref)
+  }
+
   test("the probe form plans fewer exchanges than the recompute form") {
     // the layout's whole point (§2/§6): bucketed feature tables remove
     // the feature-pipeline exchanges AND the self-join exchanges
